@@ -1,0 +1,127 @@
+"""Shared flax building blocks: norm factory, align-corners bilinear
+upsampling, DropBlock regularization.
+
+TPU notes: everything is NHWC (XLA's native conv layout on TPU); convs run on
+the MXU in the module's compute dtype (bf16 by default at train), norms and
+the final head outputs stay f32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def get_norm(norm: str, num_gn_groups: int = 32, dtype: Any = jnp.float32) -> Callable:
+    """BN / GN factory (reference core/utils/layer_utils.py:17 get_norm).
+
+    Returns a flax module factory; BatchNorm keeps per-replica running stats
+    (no cross-replica sync), matching the reference's plain nn.BatchNorm2d
+    under DDP (SURVEY.md §7 "BatchNorm under DP").
+    """
+    if norm in ("BN", "SyncBN"):
+        # On TPU we intentionally keep BN per-replica even for "SyncBN":
+        # reference trains with plain BN per GPU.
+        return lambda: nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=dtype)
+    if norm == "GN":
+        return lambda: nn.GroupNorm(num_groups=num_gn_groups, epsilon=1e-5, dtype=dtype)
+    if norm in ("none", ""):
+        return lambda: (lambda x: x)
+    raise ValueError(f"Unknown norm type: {norm}")
+
+
+def upsample_bilinear_align_corners(x: jnp.ndarray, scale: int = 2) -> jnp.ndarray:
+    """NHWC bilinear x`scale` upsample with align_corners=True.
+
+    Matches torch nn.UpsamplingBilinear2d(scale_factor=2) used by the geometry
+    head (reference cdpn_rot_head_region.py:66,104): output grid point i maps
+    to input coordinate i*(H-1)/(OH-1). jax.image.resize uses half-pixel
+    centers, so this is written as an explicit gather-free lerp.
+    """
+    B, H, W, C = x.shape
+    OH, OW = H * scale, W * scale
+
+    def _axis_weights(n_in: int, n_out: int):
+        if n_in == 1:
+            idx0 = jnp.zeros((n_out,), jnp.int32)
+            return idx0, idx0, jnp.zeros((n_out,), x.dtype)
+        pos = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / (n_out - 1)
+        i0 = jnp.floor(pos).astype(jnp.int32)
+        i0 = jnp.clip(i0, 0, n_in - 2)
+        w = (pos - i0.astype(jnp.float32)).astype(x.dtype)
+        return i0, i0 + 1, w
+
+    y0, y1, wy = _axis_weights(H, OH)
+    x0, x1, wx = _axis_weights(W, OW)
+
+    top = x[:, y0][:, :, x0] * (1 - wx[None, None, :, None]) + x[:, y0][:, :, x1] * wx[None, None, :, None]
+    bot = x[:, y1][:, :, x0] * (1 - wx[None, None, :, None]) + x[:, y1][:, :, x1] * wx[None, None, :, None]
+    return top * (1 - wy[None, :, None, None]) + bot * wy[None, :, None, None]
+
+
+class DropBlock2D(nn.Module):
+    """DropBlock (NHWC): zero contiguous spatial blocks at train time.
+
+    Reference: core/utils/dropblock/dropblock.py:6 (DropBlock2D) with the
+    LinearScheduler (scheduler.py:5) folded in via the `progress` argument —
+    drop_prob ramps 0 -> drop_prob over `nr_steps` training steps. The
+    schedule is driven by the caller passing progress = step/nr_steps in
+    [0, 1] (JAX modules are stateless; no .step() counter).
+    """
+
+    drop_prob: float = 0.0
+    block_size: int = 5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool, progress: float | jnp.ndarray = 1.0,
+                 rng: jax.Array | None = None) -> jnp.ndarray:
+        if self.drop_prob == 0.0 or not train:
+            return x
+        if rng is None:
+            rng = self.make_rng("dropout")
+        B, H, W, C = x.shape
+        drop_prob = self.drop_prob * jnp.clip(progress, 0.0, 1.0)
+        gamma = drop_prob / (self.block_size ** 2)
+        mask = jax.random.bernoulli(rng, gamma, (B, H, W, 1)).astype(x.dtype)
+        # expand each dropped seed to a block via max-pool
+        block_mask = nn.max_pool(
+            mask, (self.block_size, self.block_size), strides=(1, 1), padding="SAME"
+        )
+        keep = 1.0 - block_mask
+        denom = jnp.maximum(jnp.mean(keep, axis=(1, 2, 3), keepdims=True), 1e-6)
+        return x * keep / denom
+
+
+class ConvNormAct(nn.Module):
+    """Conv -> norm -> ReLU with the reference's init (normal std=0.001)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    norm: str = "BN"
+    num_gn_groups: int = 32
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding="SAME",
+            use_bias=self.use_bias,
+            kernel_init=nn.initializers.normal(0.001),
+            dtype=self.dtype,
+        )(x)
+        norm = get_norm(self.norm, self.num_gn_groups, dtype=self.dtype)()
+        if isinstance(norm, nn.BatchNorm):
+            x = norm(x, use_running_average=not train)
+        elif callable(norm) and not isinstance(norm, nn.Module):
+            x = norm(x)
+        else:
+            x = norm(x)
+        return nn.relu(x)

@@ -148,6 +148,22 @@ def quat_conjugate(q: jnp.ndarray) -> jnp.ndarray:
     return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
 
 
+def quat_exp(q: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Quaternion exponential, [..., 4] (s; v) or [..., 3] (pure v) -> [..., 4].
+
+    exp(s; v) = e^s (cos|v|, v/|v| sin|v|). Ref quaternion_lf.qexp
+    (core/utils/quaternion_lf.py:286-310) — the "log_quat" rot type decode.
+    """
+    if q.shape[-1] == 4:
+        s, v = q[..., :1], q[..., 1:]
+    else:
+        s, v = jnp.zeros_like(q[..., :1]), q
+    theta = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    w = jnp.cos(theta)
+    xyz = v * jnp.sin(theta) / jnp.maximum(theta, eps)
+    return jnp.exp(s) * jnp.concatenate([w, xyz], axis=-1)
+
+
 def qrot_points(q: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Rotate [..., N, 3] points by [..., 4] quaternions.
 

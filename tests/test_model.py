@@ -1,0 +1,201 @@
+"""Shape / finiteness / variant tests for the flax GDRN model stack.
+
+Reference has no unit tests for its model (SURVEY.md §4); these validate the
+output contract documented at GDRN.py:83-306 (channel layout, pose decode
+shapes, class-aware slicing, bin mode, attentions, MTL params).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gdrnet_tpu.config import base_config
+from gdrnet_tpu.models import build_model
+from gdrnet_tpu.models.resnet import ResNetBackbone
+from gdrnet_tpu.losses import gdrn_loss
+
+
+def _roi_batch(rng, B=2, num_points=32, K=3):
+    """Minimal fixed-shape ROI train batch (channels-last)."""
+    return {
+        "roi_img": jnp.asarray(rng.rand(B, 256, 256, 3), jnp.float32),
+        "roi_classes": jnp.zeros((B,), jnp.int32),
+        "roi_coord_2d": jnp.asarray(rng.rand(B, 64, 64, 2), jnp.float32),
+        "roi_cams": jnp.tile(jnp.asarray([[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1.0]],
+                                         jnp.float32), (B, 1, 1)),
+        "roi_centers": jnp.asarray(rng.rand(B, 2) * 400 + 100, jnp.float32),
+        "roi_whs": jnp.asarray(rng.rand(B, 2) * 100 + 50, jnp.float32),
+        "roi_extents": jnp.asarray(rng.rand(B, 3) * 0.1 + 0.05, jnp.float32),
+        "resize_ratios": jnp.asarray(rng.rand(B) + 0.5, jnp.float32),
+        "gt_xyz": jnp.asarray(rng.rand(B, 64, 64, 3), jnp.float32),
+        "gt_xyz_bin": jnp.asarray(rng.randint(0, 64, (B, 64, 64, 3)), jnp.int32),
+        "gt_mask_trunc": jnp.ones((B, 64, 64), jnp.float32),
+        "gt_mask_visib": jnp.ones((B, 64, 64), jnp.float32),
+        "gt_mask_obj": jnp.ones((B, 64, 64), jnp.float32),
+        "gt_region": jnp.asarray(rng.randint(0, 9, (B, 64, 64)), jnp.int32),
+        "gt_ego_rot": jnp.tile(jnp.eye(3, dtype=jnp.float32), (B, 1, 1)),
+        "gt_trans": jnp.asarray(rng.rand(B, 3) + np.array([0, 0, 0.5]), jnp.float32),
+        "gt_trans_ratio": jnp.asarray(rng.rand(B, 3), jnp.float32),
+        "gt_points": jnp.asarray(rng.rand(B, num_points, 3) - 0.5, jnp.float32),
+        "sym_rots": jnp.tile(jnp.eye(3, dtype=jnp.float32), (B, K, 1, 1)),
+        "sym_mask": jnp.ones((B, K), bool),
+    }
+
+
+def _init_and_forward(cfg, batch, train=False):
+    model = build_model(cfg)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    kwargs = dict(
+        roi_classes=batch["roi_classes"], roi_coord_2d=batch["roi_coord_2d"],
+        roi_cams=batch["roi_cams"], roi_centers=batch["roi_centers"],
+        roi_whs=batch["roi_whs"], roi_extents=batch["roi_extents"],
+        resize_ratios=batch["resize_ratios"], train=train)
+    variables = model.init(rngs, batch["roi_img"], **kwargs)
+    out, mutated = model.apply(
+        variables, batch["roi_img"], **kwargs,
+        mutable=["batch_stats"] if train else [],
+        rngs={"dropout": jax.random.PRNGKey(2)} if train else None)
+    return model, variables, out
+
+
+def test_backbone_shapes(rng):
+    bb = ResNetBackbone(depth=34, rot_concat=True)
+    x = jnp.asarray(rng.rand(2, 256, 256, 3), jnp.float32)
+    vs = bb.init(jax.random.PRNGKey(0), x)
+    hi, f64, f32, f16 = bb.apply(vs, x)
+    assert hi.shape == (2, 8, 8, 512)
+    assert f64.shape == (2, 64, 64, 64)
+    assert f32.shape == (2, 32, 32, 128)
+    assert f16.shape == (2, 16, 16, 256)
+
+
+def test_backbone_bottleneck(rng):
+    bb = ResNetBackbone(depth=50)
+    x = jnp.asarray(rng.rand(1, 256, 256, 3), jnp.float32)
+    vs = bb.init(jax.random.PRNGKey(0), x)
+    hi = bb.apply(vs, x)
+    assert hi.shape == (1, 8, 8, 2048)
+
+
+def test_gdrn_forward_default(rng):
+    cfg = base_config()
+    batch = _roi_batch(rng)
+    _, _, out = _init_and_forward(cfg, batch)
+    assert out["rot"].shape == (2, 3, 3)
+    assert out["trans"].shape == (2, 3)
+    assert out["mask"].shape == (2, 64, 64, 1)
+    assert out["coor_x"].shape == (2, 64, 64, 1)
+    assert out["region"].shape == (2, 64, 64, 9)
+    # rotations are orthonormal
+    rtr = np.einsum("bij,bkj->bik", out["rot"], out["rot"])
+    np.testing.assert_allclose(rtr, np.tile(np.eye(3), (2, 1, 1)), atol=1e-5)
+    assert np.all(np.isfinite(np.asarray(out["trans"])))
+
+
+def test_gdrn_forward_bins_and_attention(rng):
+    cfg = base_config()
+    cfg.MODEL.CDPN.ROT_HEAD.XYZ_LOSS_TYPE = "CE_coor"
+    cfg.MODEL.CDPN.ROT_HEAD.XYZ_BIN = 16
+    cfg.MODEL.CDPN.PNP_NET.WITH_2D_COORD = True
+    cfg.MODEL.CDPN.PNP_NET.REGION_ATTENTION = True
+    cfg.MODEL.CDPN.PNP_NET.MASK_ATTENTION = "concat"
+    batch = _roi_batch(rng)
+    _, _, out = _init_and_forward(cfg, batch)
+    assert out["coor_x"].shape == (2, 64, 64, 17)
+    assert out["rot"].shape == (2, 3, 3)
+
+
+def test_gdrn_class_aware(rng):
+    cfg = base_config()
+    cfg.MODEL.CDPN.ROT_HEAD.NUM_CLASSES = 4
+    cfg.MODEL.CDPN.ROT_HEAD.ROT_CLASS_AWARE = True
+    cfg.MODEL.CDPN.ROT_HEAD.MASK_CLASS_AWARE = True
+    cfg.MODEL.CDPN.ROT_HEAD.REGION_CLASS_AWARE = True
+    batch = _roi_batch(rng)
+    batch["roi_classes"] = jnp.asarray([1, 3], jnp.int32)
+    _, _, out = _init_and_forward(cfg, batch)
+    assert out["coor_x"].shape == (2, 64, 64, 1)
+    assert out["mask"].shape == (2, 64, 64, 1)
+    assert out["region"].shape == (2, 64, 64, 9)
+
+
+@pytest.mark.parametrize("rot_type", ["allo_rot6d", "ego_quat", "allo_log_quat", "allo_lie_vec"])
+def test_gdrn_rot_types(rng, rot_type):
+    cfg = base_config()
+    cfg.MODEL.CDPN.PNP_NET.ROT_TYPE = rot_type
+    batch = _roi_batch(rng)
+    _, _, out = _init_and_forward(cfg, batch)
+    rtr = np.einsum("bij,bkj->bik", out["rot"], out["rot"])
+    np.testing.assert_allclose(rtr, np.tile(np.eye(3), (2, 1, 1)), atol=1e-4)
+
+
+def test_gdrn_loss_default(rng):
+    cfg = base_config()
+    batch = _roi_batch(rng)
+    _, _, out = _init_and_forward(cfg, batch)
+    losses = gdrn_loss(cfg, out, batch)
+    expect = {"loss_coor_x", "loss_coor_y", "loss_coor_z", "loss_mask",
+              "loss_region", "loss_PM_R"}
+    assert expect == set(losses.keys())
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+        assert float(v) >= 0, k
+
+
+def test_gdrn_loss_all_terms(rng):
+    cfg = base_config()
+    pnp = cfg.MODEL.CDPN.PNP_NET
+    pnp.PM_LOSS_SYM = True
+    pnp.PM_R_ONLY = False
+    pnp.PM_DISENTANGLE_Z = True
+    pnp.PM_T_USE_POINTS = True
+    pnp.PM_NORM_BY_EXTENT = True
+    pnp.ROT_LW = 1.0
+    pnp.CENTROID_LW = 1.0
+    pnp.Z_LW = 1.0
+    pnp.TRANS_LW = 1.0
+    pnp.BIND_LW = 1.0
+    batch = _roi_batch(rng)
+    _, _, out = _init_and_forward(cfg, batch)
+    losses = gdrn_loss(cfg, out, batch)
+    for k in ("loss_PM_R", "loss_PM_xy", "loss_PM_z", "loss_rot",
+              "loss_centroid", "loss_z", "loss_trans_xy", "loss_trans_z", "loss_bind"):
+        assert k in losses, k
+        assert np.isfinite(float(losses[k])), k
+
+
+def test_gdrn_mtl(rng):
+    cfg = base_config()
+    cfg.MODEL.CDPN.USE_MTL = True
+    batch = _roi_batch(rng)
+    model, variables, out = _init_and_forward(cfg, batch)
+    assert "log_vars" in out
+    losses = gdrn_loss(cfg, out, batch)
+    # with log_var=0: L*exp(0)+log(2) => every loss shifted by log(2)
+    assert float(losses["loss_mask"]) > np.log(2) - 1e-6
+
+
+def test_gdrn_grads_finite(rng):
+    cfg = base_config()
+    batch = _roi_batch(rng)
+    model = build_model(cfg)
+    kwargs = dict(
+        roi_classes=batch["roi_classes"], roi_coord_2d=batch["roi_coord_2d"],
+        roi_cams=batch["roi_cams"], roi_centers=batch["roi_centers"],
+        roi_whs=batch["roi_whs"], roi_extents=batch["roi_extents"],
+        resize_ratios=batch["resize_ratios"])
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch["roi_img"], **kwargs)
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            batch["roi_img"], **kwargs, train=True, mutable=["batch_stats"])
+        losses = gdrn_loss(cfg, out, batch)
+        return sum(jax.tree.leaves(losses))
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree.leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    # at least some gradient is nonzero
+    assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
