@@ -1,0 +1,87 @@
+"""Benchmark: ROI pose-crop inference throughput on one chip.
+
+Runs the flagship GDRN-R34 (256x256 ROI crops, 2D-coord + region attention —
+the reference's strongest single-model config family) in bf16 over large
+batches and reports crops/sec/chip. Baseline = 5000 crops/sec/chip, the
+north-star from BASELINE.json (the reference paper claims ~35 ms/object
+end-to-end on GPU ≈ 29 crops/sec without batching; the TPU target is the
+driver-set 5k).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_CROPS_PER_SEC = 5000.0
+
+
+def main():
+    from gdrnet_tpu.config import base_config
+    from gdrnet_tpu.models import build_model
+    from gdrnet_tpu.data import synthetic_roi_batch
+
+    cfg = base_config()
+    cfg.MODEL.CDPN.PNP_NET.WITH_2D_COORD = True
+    cfg.MODEL.CDPN.PNP_NET.REGION_ATTENTION = True
+    cfg.PARALLEL.DTYPE = "bfloat16"
+    model = build_model(cfg)
+
+    batch_size = 256
+    b = synthetic_roi_batch(batch_size=batch_size)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+
+    kwargs = dict(
+        roi_classes=batch["roi_classes"], roi_coord_2d=batch["roi_coord_2d"],
+        roi_cams=batch["roi_cams"], roi_centers=batch["roi_centers"],
+        roi_whs=batch["roi_whs"], roi_extents=batch["roi_extents"],
+        resize_ratios=batch["resize_ratios"])
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           batch["roi_img"], **kwargs, train=False)
+
+    def _forward(variables, roi_img):
+        out = model.apply(
+            variables, roi_img,
+            roi_classes=batch["roi_classes"], roi_coord_2d=batch["roi_coord_2d"],
+            roi_cams=batch["roi_cams"], roi_centers=batch["roi_centers"],
+            roi_whs=batch["roi_whs"], roi_extents=batch["roi_extents"],
+            resize_ratios=batch["resize_ratios"], train=False)
+        return out["rot"], out["trans"]
+
+    iters = 10
+
+    # Chain iterations on-device via lax.scan (each iteration's input depends
+    # on the previous output) and fetch the carry to the host: the tunnel's
+    # block_until_ready can return before execution finishes, so a host fetch
+    # of a data-dependent scalar is the only honest fence. Warmup excluded as
+    # in the reference driver (gdrn_evaluator.py:545-560).
+    @jax.jit
+    def bench_iters(variables, roi_img):
+        def body(carry, _):
+            rot, trans = _forward(variables, roi_img + carry * 1e-30)
+            return jnp.sum(trans[0]) , None
+        carry, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        return carry
+
+    float(bench_iters(variables, batch["roi_img"]))  # compile + warmup
+    t0 = time.perf_counter()
+    carry = float(bench_iters(variables, batch["roi_img"]))
+    dt = time.perf_counter() - t0
+    assert carry == carry, "NaN in benched forward"
+
+    crops_per_sec = batch_size * iters / dt
+    print(json.dumps({
+        "metric": "roi_pose_crops_per_sec_per_chip",
+        "value": round(crops_per_sec, 1),
+        "unit": "crops/s",
+        "vs_baseline": round(crops_per_sec / BASELINE_CROPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Jitted train / predict steps over a data mesh.
+
+One compiled XLA program replaces the reference's per-iteration python
+(engine.py:228-333): forward + loss + grad + optimizer + BN-stat update all
+fuse; sharding the ROI batch on the mesh's `data` axis makes GSPMD insert
+the gradient all-reduce the reference got from DDP (engine.py:279). Losses
+come out as replicated scalars — the analogue of comm.reduce_dict
+(engine.py:273) is free.
+
+bf16 policy: model compute dtype comes from the module (PARALLEL.DTYPE);
+params, optimizer state and loss math stay f32 (reference AMP analogue,
+main_gdrn.py:141).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gdrnet_tpu.engine.train_state import GDRNTrainState
+from gdrnet_tpu.losses import gdrn_loss
+
+_MODEL_KWARG_KEYS = (
+    "roi_classes", "roi_coord_2d", "roi_cams", "roi_centers", "roi_whs",
+    "roi_extents", "resize_ratios",
+)
+
+
+def _model_kwargs(batch: dict) -> dict:
+    return {k: batch[k] for k in _MODEL_KWARG_KEYS if k in batch}
+
+
+def make_train_step(cfg, model, optimizer: optax.GradientTransformation,
+                    mesh: Mesh | None = None,
+                    dropblock_nr_steps: int = 5000) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, metrics)."""
+
+    def loss_fn(params, batch_stats, batch, rng, step):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        out, mutated = model.apply(
+            variables,
+            batch["roi_img"],
+            **_model_kwargs(batch),
+            train=True,
+            dropblock_progress=step.astype(jnp.float32) / dropblock_nr_steps,
+            mutable=["batch_stats"] if batch_stats else [],
+            rngs={"dropout": rng},
+        )
+        loss_dict = gdrn_loss(cfg, out, batch)
+        total = sum(jax.tree.leaves(loss_dict))
+        new_stats = mutated.get("batch_stats", batch_stats) if batch_stats else {}
+        return total, (loss_dict, new_stats, out)
+
+    def train_step(state: GDRNTrainState, batch: dict, rng: jax.Array):
+        (total, (loss_dict, new_stats, out)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
+                                   rng, state.step)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = GDRNTrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        metrics = dict(loss_dict)
+        metrics["total_loss"] = total
+        # train-time pose error vis (reference compute_mean_re_te, GDRN.py:246)
+        tr = jnp.einsum("bij,bij->b", out["rot"], batch["gt_ego_rot"])
+        cos = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
+        metrics["vis/error_R"] = jnp.mean(jnp.degrees(jnp.arccos(cos)))
+        metrics["vis/error_t"] = jnp.mean(
+            jnp.linalg.norm(out["trans"] - batch["gt_trans"], axis=-1)) * 100.0
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=0)
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=0,
+    )
+
+
+def make_predict_step(model, mesh: Mesh | None = None,
+                      with_maps: bool = False) -> Callable:
+    """Returns predict(variables, batch) -> {"rot", "trans", ...} — the
+    test-time forward (reference GDRN.forward with do_loss=False,
+    GDRN.py:234-240); with_maps additionally returns mask/coor/region for
+    the PnP refinement paths (TEST.USE_PNP)."""
+
+    def predict(variables, batch):
+        out = model.apply(variables, batch["roi_img"], **_model_kwargs(batch),
+                          train=False)
+        keep = {"rot": out["rot"], "trans": out["trans"]}
+        if with_maps:
+            for k in ("mask", "coor_x", "coor_y", "coor_z", "region"):
+                keep[k] = out[k]
+        return keep
+
+    if mesh is None:
+        return jax.jit(predict)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(predict, in_shardings=(repl, data), out_shardings=data)

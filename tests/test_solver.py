@@ -1,0 +1,138 @@
+"""Solver tests: flat_and_anneal parity with the reference formula
+(lr_scheduler.py:221-262 lambda, checked at sampled iterations) and
+optimizer sanity (Ranger/RAdam/SGD_GC converge on a quadratic; lookahead
+sync matches the slow/fast algebra; GC zeroes channel means)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from gdrnet_tpu.config import base_config
+from gdrnet_tpu.solver import (
+    flat_and_anneal_schedule,
+    build_lr_schedule,
+    ranger,
+    radam,
+    sgd_gc,
+    build_optimizer,
+)
+from gdrnet_tpu.solver.optimizers import centralize_gradients, with_lookahead
+
+
+def _ref_flat_and_anneal(x, total, warmup_iters, warmup_factor, anneal_point,
+                         anneal_method, target=0.0, poly_power=1.0,
+                         step_gamma=0.1, steps=(2/3, 8/9)):
+    """Direct transcription of the reference lambda for golden values."""
+    anneal_start = (steps[0] if anneal_method == "step" else anneal_point) * total
+    if x < warmup_iters:
+        a = x / warmup_iters
+        return warmup_factor * (1 - a) + a
+    if x >= anneal_start:
+        if anneal_method == "cosine":
+            return target + 0.5 * (1 - target) * (1 + math.cos(math.pi * (x - anneal_start) / (total - anneal_start)))
+        if anneal_method == "linear":
+            return target + (1 - target) * (total - x) / (total - anneal_start)
+        if anneal_method == "poly":
+            return target + (1 - target) * ((total - x) / (total - anneal_start)) ** poly_power
+        if anneal_method == "exp":
+            return max(target, 5e-3) ** ((x - anneal_start) / (total - anneal_start))
+        if anneal_method == "step":
+            ms = [s * total for s in steps]
+            return step_gamma ** sum(1 for m in ms if x >= m)
+    return 1.0
+
+
+@pytest.mark.parametrize("method", ["cosine", "linear", "poly", "exp", "step"])
+def test_flat_and_anneal_matches_reference(method):
+    total, warmup = 10000, 800
+    sched = flat_and_anneal_schedule(
+        1e-3, total, warmup_iters=warmup, warmup_factor=1e-3,
+        anneal_point=0.72, anneal_method=method, poly_power=0.9)
+    for x in [0, 1, 400, 799, 800, 3000, 7199, 7200, 8000, 9000, 9999]:
+        got = float(sched(x)) / 1e-3
+        want = _ref_flat_and_anneal(x, total, warmup, 1e-3, 0.72, method, poly_power=0.9)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7, err_msg=f"{method}@{x}")
+
+
+def test_build_lr_schedule_from_cfg():
+    cfg = base_config()
+    sched = build_lr_schedule(cfg, 1e-4, 10000)
+    assert float(sched(5000)) == pytest.approx(1e-4)
+    assert float(sched(9999)) < 1e-6
+
+
+def _converges(opt, steps=300):
+    target = jnp.asarray([1.0, -2.0, 3.0])
+    params = {"w": jnp.zeros(3)}
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        grads = jax.grad(lambda p: jnp.sum((p["w"] - target) ** 2))(params)
+        updates, state = opt.update(grads, state, params)
+        return optax.apply_updates(params, updates), state
+
+    for _ in range(steps):
+        params, state = step(params, state)
+    return float(jnp.max(jnp.abs(params["w"] - target)))
+
+
+def test_ranger_converges():
+    assert _converges(ranger(0.05), steps=600) < 0.05
+
+
+def test_radam_converges():
+    assert _converges(radam(0.05), steps=600) < 0.05
+
+
+def test_sgd_gc_converges():
+    # GC is a no-op on 1-d params; plain momentum SGD must converge
+    assert _converges(sgd_gc(0.05, momentum=0.9), steps=400) < 0.01
+
+
+def test_gradient_centralization():
+    gc = centralize_gradients(conv_only=False)
+    g = {"conv": jnp.arange(24, dtype=jnp.float32).reshape(2, 3, 2, 2),
+         "bias": jnp.ones(4)}
+    out, _ = gc.update(g, gc.init(g))
+    # per-output-channel (last axis) mean removed for ndim>1
+    np.testing.assert_allclose(np.asarray(out["conv"]).reshape(-1, 2).mean(0), 0, atol=1e-6)
+    np.testing.assert_allclose(out["bias"], g["bias"])  # 1-d untouched
+
+
+def test_lookahead_sync_algebra():
+    k, alpha = 3, 0.5
+    inner = optax.sgd(0.1)
+    opt = with_lookahead(inner, alpha=alpha, k=k)
+    params = {"w": jnp.ones(2)}
+    state = opt.init(params)
+    slow0 = np.asarray(state.slow["w"])
+    grads = {"w": jnp.full(2, 0.5)}
+    fasts = [np.asarray(params["w"])]
+    for i in range(k):
+        updates, state = opt.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+        fasts.append(np.asarray(params["w"]))
+    # after k steps the params must equal slow + alpha*(fast_pre_sync - slow)
+    fast_pre = fasts[k - 1] - 0.1 * 0.5  # fast after inner update at step k
+    expect = slow0 + alpha * (fast_pre - slow0)
+    np.testing.assert_allclose(np.asarray(params["w"]), expect, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(state.slow["w"]), expect, rtol=1e-6)
+
+
+def test_build_optimizer_with_lr_mult():
+    cfg = base_config()
+    cfg.SOLVER.OPTIMIZER_CFG = {"type": "Ranger", "lr": 1e-4, "weight_decay": 0.0}
+    cfg.MODEL.CDPN.PNP_NET.LR_MULT = 0.1
+    params = {"backbone": {"w": jnp.ones(3)}, "pnp_net": {"w": jnp.ones(3)}}
+    opt = build_optimizer(cfg, params=params)
+    state = opt.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = opt.update(grads, state, params)
+    # pnp update must be ~0.1x the backbone update
+    ratio = float(jnp.abs(updates["pnp_net"]["w"][0] / updates["backbone"]["w"][0]))
+    np.testing.assert_allclose(ratio, 0.1, rtol=1e-4)
