@@ -1,0 +1,5 @@
+from gdrnet_tpu.eval import pose_errors
+from gdrnet_tpu.eval.bop_writer import save_bop_results, load_bop_results
+from gdrnet_tpu.eval.custom_evaluator import CustomEvaluator
+
+__all__ = ["pose_errors", "save_bop_results", "load_bop_results", "CustomEvaluator"]
