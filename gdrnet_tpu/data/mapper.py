@@ -1,0 +1,306 @@
+"""Per-instance ROI mappers: BOP record -> fixed-shape ROI training sample /
+padded test ROI batches.
+
+TPU-native re-design of the reference's `GDRN_DatasetFromList.read_data`
+(core/gdrn_modeling/data_loader.py:304-633): same preprocessing semantics
+(DZI bbox aug :120-152 of base_data_loader.py, cv2 warp crops with bilinear
+img / nearest mask+xyz :497-540, xyz normalize by extent +0.5 :543-548, CE
+binning :550-575, SITE trans ratios :628-632) but emitting channels-last
+numpy arrays with static shapes so whole batches jit cleanly; variable
+ROI-count test images are padded to a fixed bucket with a validity mask
+(SURVEY.md §5 long-context note).
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import cv2
+import numpy as np
+
+from gdrnet_tpu.data.model_store import ObjectModels
+from gdrnet_tpu.data.augment import BackgroundReplacer, build_color_augmentor
+from gdrnet_tpu.ops.warp import affine_params
+from gdrnet_tpu.ops import rotation as R_ops
+
+
+def crop_resize(img: np.ndarray, center, scale, out_size: int,
+                interp=cv2.INTER_LINEAR) -> np.ndarray:
+    """cv2.warpAffine crop (reference crop_resize_by_warp_affine,
+    core/utils/data_utils.py:80-93) using the closed-form affine."""
+    M = affine_params(center, scale, 0.0, out_size)
+    return cv2.warpAffine(img, M, (out_size, out_size), flags=interp)
+
+
+def dzi_aug_bbox(bbox_xyxy, im_h, im_w, rng, dzi_type="uniform",
+                 pad_scale=1.5, scale_ratio=0.25, shift_ratio=0.25):
+    """DZI bbox augmentation (reference base_data_loader.aug_bbox:120-152)."""
+    x1, y1, x2, y2 = [float(v) for v in bbox_xyxy]
+    cx, cy = 0.5 * (x1 + x2), 0.5 * (y1 + y2)
+    bw, bh = x2 - x1, y2 - y1
+    t = dzi_type.lower()
+    if t == "uniform":
+        s = 1 + scale_ratio * (2 * rng.random_sample() - 1)
+        sh = shift_ratio * (2 * rng.random_sample(2) - 1)
+        center = np.array([cx + bw * sh[0], cy + bh * sh[1]])
+        scale = max(bh, bw) * s * pad_scale
+    elif t == "roi10d":
+        a, b = -0.15, 0.15
+        x1 += bw * (rng.rand() * (b - a) + a)
+        x2 += bw * (rng.rand() * (b - a) + a)
+        y1 += bh * (rng.rand() * (b - a) + a)
+        y2 += bh * (rng.rand() * (b - a) + a)
+        x1, x2 = np.clip([x1, x2], 0, im_w)
+        y1, y2 = np.clip([y1, y2], 0, im_h)
+        center = np.array([0.5 * (x1 + x2), 0.5 * (y1 + y2)])
+        scale = max(y2 - y1, x2 - x1) * pad_scale
+    else:  # none
+        center = np.array([cx, cy])
+        scale = max(bh, bw) * pad_scale
+    scale = min(scale, max(im_h, im_w)) * 1.0
+    return center.astype(np.float32), float(scale)
+
+
+def get_2d_coord_np(w: int, h: int) -> np.ndarray:
+    """[H,W,2] normalized pixel coords (data_utils.get_2d_coord_np:222)."""
+    x = np.linspace(0, 1, w, dtype=np.float32)
+    y = np.linspace(0, 1, h, dtype=np.float32)
+    xm, ym = np.meshgrid(x, y)
+    return np.stack([xm, ym], axis=-1)
+
+
+def xyz_to_region_np(xyz: np.ndarray, fps_points: np.ndarray) -> np.ndarray:
+    """Nearest-FPS region labels, 0 = bg (data_utils.xyz_to_region:213)."""
+    mask = np.any(xyz != 0, axis=-1)
+    d = np.linalg.norm(xyz[:, :, None, :] - fps_points[None, None], axis=-1)
+    region = np.argmin(d, axis=-1).astype(np.int32) + 1
+    return np.where(mask, region, 0).astype(np.int32)
+
+
+class GDRNTrainMapper:
+    def __init__(self, cfg, models: ObjectModels,
+                 bg_replacer: BackgroundReplacer | None = None,
+                 render_missing_xyz: bool = True):
+        self.cfg = cfg
+        self.models = models
+        inp = cfg.INPUT
+        self.input_res = cfg.MODEL.CDPN.BACKBONE.INPUT_RES
+        self.out_res = cfg.MODEL.CDPN.BACKBONE.OUTPUT_RES
+        self.dzi_type = inp.DZI_TYPE
+        self.dzi_pad = inp.DZI_PAD_SCALE
+        self.dzi_scale = inp.DZI_SCALE_RATIO
+        self.dzi_shift = inp.DZI_SHIFT_RATIO
+        self.color_aug_prob = inp.COLOR_AUG_PROB
+        self.color_aug_syn_only = inp.COLOR_AUG_SYN_ONLY
+        self.color_aug = (build_color_augmentor(inp.COLOR_AUG_TYPE)
+                          if inp.COLOR_AUG_PROB > 0 else None)
+        self.change_bg_prob = inp.CHANGE_BG_PROB
+        self.truncate_fg = inp.TRUNCATE_FG
+        self.bg = bg_replacer
+        self.xyz_bin = cfg.MODEL.CDPN.ROT_HEAD.XYZ_BIN
+        self.with_bins = "CE" in cfg.MODEL.CDPN.ROT_HEAD.XYZ_LOSS_TYPE
+        self.xyz_mask_gt = cfg.MODEL.CDPN.ROT_HEAD.XYZ_LOSS_MASK_GT
+        self.pixel_mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float32)
+        self.pixel_std = np.asarray(cfg.MODEL.PIXEL_STD, np.float32)
+        self.coord2d = get_2d_coord_np(self.out_res, self.out_res)
+        self.render_missing_xyz = render_missing_xyz
+        self._mesh_cache: dict = {}
+
+    # -- xyz GT --------------------------------------------------------
+    def _load_xyz(self, rec, im_h, im_w) -> np.ndarray:
+        import os.path as osp
+
+        path = rec.get("xyz_path")
+        if path and osp.exists(path):
+            with open(path, "rb") as f:
+                info = pickle.load(f)
+            x1, y1, x2, y2 = info["xyxy"]
+            xyz = np.zeros((im_h, im_w, 3), np.float32)
+            xyz[y1:y2 + 1, x1:x2 + 1] = np.asarray(info["xyz_crop"], np.float32)
+            return xyz
+        if not self.render_missing_xyz:
+            raise FileNotFoundError(f"xyz GT missing: {path}")
+        # on-the-fly render with the XLA rasterizer (tools/gen_xyz.py makes
+        # the offline artifacts; this path keeps tiny datasets self-serve)
+        from gdrnet_tpu.ops.rasterizer import render_xyz
+        from gdrnet_tpu.data.ply import load_ply
+
+        name = rec["label"]
+        if name not in self._mesh_cache:
+            ply = load_ply(self.models.meta.model_path(rec["obj_id"]),
+                           vertex_scale=self.models.meta.vertex_scale)
+            self._mesh_cache[name] = (ply["pts"], ply.get("faces"))
+        verts, faces = self._mesh_cache[name]
+        _, xyz = render_xyz(verts, faces, rec["K"], rec["R"], rec["t"],
+                            height=im_h, width=im_w)
+        return np.asarray(xyz)
+
+    # -- main ----------------------------------------------------------
+    def __call__(self, rec: dict, rng: np.random.RandomState) -> dict:
+        img = cv2.imread(rec["rgb_path"], cv2.IMREAD_COLOR)
+        assert img is not None, rec["rgb_path"]
+        im_h, im_w = img.shape[:2]
+
+        xyz = self._load_xyz(rec, im_h, im_w)
+        mask_obj = np.any(xyz != 0, axis=-1).astype(np.float32)
+
+        mask_visib = None
+        import os.path as osp
+        if rec.get("mask_visib_path") and osp.exists(rec["mask_visib_path"]):
+            mv = cv2.imread(rec["mask_visib_path"], cv2.IMREAD_GRAYSCALE)
+            if mv is not None:
+                mask_visib = (mv > 0).astype(np.float32)
+        if mask_visib is None:
+            mask_visib = mask_obj.copy()
+        mask_visib = mask_visib * mask_obj  # (reference data_loader.py:507)
+        mask_trunc = mask_visib.copy()
+
+        # bg replacement: always for synthetic, with prob for real
+        # (reference data_loader.py:330-346)
+        is_syn = rec.get("img_type", "real") != "real"
+        if self.bg is not None and (is_syn or rng.rand() < self.change_bg_prob):
+            img, mask_trunc_new = self.bg.replace(
+                img, mask_trunc, rng, truncate_fg=self.truncate_fg)
+            mask_trunc = mask_trunc * mask_trunc_new
+
+        # color aug
+        if self.color_aug is not None and rng.rand() < self.color_aug_prob:
+            if not (self.color_aug_syn_only and not is_syn):
+                img = self.color_aug(img, rng)
+
+        # DZI bbox aug on the xyz-derived bbox (reference overrides bbox
+        # with xyz xyxy, data_loader.py:477-479)
+        ys, xs = np.nonzero(mask_obj)
+        if len(xs) == 0:
+            raise ValueError("empty object mask")
+        bbox = [xs.min(), ys.min(), xs.max(), ys.max()]
+        center, scale = dzi_aug_bbox(
+            bbox, im_h, im_w, rng, self.dzi_type, self.dzi_pad,
+            self.dzi_scale, self.dzi_shift)
+        bw = max(bbox[2] - bbox[0], 1)
+        bh = max(bbox[3] - bbox[1], 1)
+
+        roi_img = crop_resize(img, center, scale, self.input_res, cv2.INTER_LINEAR)
+        roi_img = (roi_img.astype(np.float32) - self.pixel_mean) / self.pixel_std
+
+        roi_mask_trunc = crop_resize(mask_trunc, center, scale, self.out_res, cv2.INTER_NEAREST)
+        roi_mask_visib = crop_resize(mask_visib, center, scale, self.out_res, cv2.INTER_NEAREST)
+        roi_mask_obj = crop_resize(mask_obj, center, scale, self.out_res, cv2.INTER_NEAREST)
+        roi_xyz = crop_resize(xyz, center, scale, self.out_res, cv2.INTER_NEAREST)
+
+        name = rec["label"]
+        cls = self.models.label_of(name)
+        extent = self.models.extents[name]
+        region = xyz_to_region_np(roi_xyz, self.models.fps_points[name])
+
+        roi_xyz_norm = roi_xyz / extent[None, None] + 0.5
+        sample = {
+            "roi_img": roi_img.astype(np.float32),
+            "roi_classes": np.int32(cls),
+            "roi_coord_2d": self.coord2d,
+            "roi_cams": rec["K"].astype(np.float32),
+            "roi_centers": center.astype(np.float32),
+            "roi_whs": np.asarray([bw, bh], np.float32),
+            "roi_extents": extent.astype(np.float32),
+            "resize_ratios": np.float32(self.out_res / scale),
+            "gt_xyz": roi_xyz_norm.astype(np.float32),
+            "gt_mask_trunc": roi_mask_trunc.astype(np.float32),
+            "gt_mask_visib": roi_mask_visib.astype(np.float32),
+            "gt_mask_obj": roi_mask_obj.astype(np.float32),
+            "gt_region": region,
+            "gt_ego_rot": rec["R"].astype(np.float32),
+            "gt_trans": rec["t"].astype(np.float32),
+            "gt_points": self.models.points_stack[cls],
+            "sym_rots": self.models.sym_rots_stack[cls],
+            "sym_mask": self.models.sym_mask_stack[cls],
+        }
+
+        if self.with_bins:
+            norm = np.clip(roi_xyz_norm, 0, 0.999999)
+            bins = (norm * self.xyz_bin).astype(np.int32)
+            roi_masks = {"trunc": roi_mask_trunc, "visib": roi_mask_visib,
+                         "obj": roi_mask_obj}
+            m = roi_masks[self.xyz_mask_gt]
+            bins[m == 0] = self.xyz_bin  # last bin = bg
+            sample["gt_xyz_bin"] = bins
+        else:
+            sample["gt_xyz_bin"] = np.zeros(
+                (self.out_res, self.out_res, 3), np.int32)
+
+        # SITE ratios (data_loader.py:628-632)
+        uvw = rec["K"] @ rec["t"]
+        centroid = uvw[:2] / max(uvw[2], 1e-12)
+        dc = centroid - center
+        resize_ratio = self.out_res / scale
+        sample["gt_trans_ratio"] = np.asarray(
+            [dc[0] / bw, dc[1] / bh, rec["t"][2] / resize_ratio], np.float32)
+        return sample
+
+
+class GDRNTestMapper:
+    """All detections of one image -> padded ROI batch (reference test path
+    batches per-image ROIs in the mapper, data_loader.py:367-451; padding to
+    `roi_batch_size` keeps TPU shapes static)."""
+
+    def __init__(self, cfg, models: ObjectModels, roi_batch_size: int = 64):
+        self.cfg = cfg
+        self.models = models
+        self.input_res = cfg.MODEL.CDPN.BACKBONE.INPUT_RES
+        self.out_res = cfg.MODEL.CDPN.BACKBONE.OUTPUT_RES
+        self.pad_scale = cfg.INPUT.DZI_PAD_SCALE
+        self.pixel_mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float32)
+        self.pixel_std = np.asarray(cfg.MODEL.PIXEL_STD, np.float32)
+        self.coord2d = get_2d_coord_np(self.out_res, self.out_res)
+        self.roi_batch_size = roi_batch_size
+
+    def __call__(self, rgb_path: str, K: np.ndarray, rois: list[dict]) -> dict:
+        """rois: [{obj_id or label, bbox xyxy (or xywh w/ 'bbox_mode'),
+        score}]. Returns padded batch + 'valid' mask + bookkeeping."""
+        img = cv2.imread(rgb_path, cv2.IMREAD_COLOR)
+        assert img is not None, rgb_path
+        n = len(rois)
+        bs = self.roi_batch_size
+        assert n <= bs, f"too many ROIs ({n}) for bucket {bs}"
+        out = {
+            "roi_img": np.zeros((bs, self.input_res, self.input_res, 3), np.float32),
+            "roi_classes": np.zeros(bs, np.int32),
+            "roi_coord_2d": np.tile(self.coord2d[None], (bs, 1, 1, 1)),
+            "roi_cams": np.tile(K.astype(np.float32)[None], (bs, 1, 1)),
+            "roi_centers": np.zeros((bs, 2), np.float32),
+            "roi_whs": np.ones((bs, 2), np.float32),
+            "roi_extents": np.ones((bs, 3), np.float32),
+            "resize_ratios": np.ones(bs, np.float32),
+            "valid": np.zeros(bs, bool),
+            "scores": np.zeros(bs, np.float32),
+            "obj_ids": np.zeros(bs, np.int32),
+        }
+        for i, det in enumerate(rois):
+            if "label" in det:
+                name = det["label"]
+            else:
+                name = self.models.meta.id2obj[int(det["obj_id"])]
+            cls = self.models.label_of(name)
+            bbox = det.get("bbox_est", det.get("bbox"))
+            x1, y1, x2, y2 = [float(v) for v in bbox]
+            if det.get("bbox_mode", "xyxy") == "xywh":
+                x2, y2 = x1 + x2, y1 + y2
+            center = np.asarray([(x1 + x2) / 2, (y1 + y2) / 2], np.float32)
+            bw, bh = max(x2 - x1, 1), max(y2 - y1, 1)
+            scale = min(max(bh, bw) * self.pad_scale, max(img.shape[:2])) * 1.0
+            roi = crop_resize(img, center, scale, self.input_res, cv2.INTER_LINEAR)
+            out["roi_img"][i] = (roi.astype(np.float32) - self.pixel_mean) / self.pixel_std
+            out["roi_classes"][i] = cls
+            out["roi_centers"][i] = center
+            out["roi_whs"][i] = (bw, bh)
+            out["roi_extents"][i] = self.models.extents[name]
+            out["resize_ratios"][i] = self.out_res / scale
+            out["valid"][i] = True
+            out["scores"][i] = float(det.get("score", 1.0))
+            out["obj_ids"][i] = self.models.meta.obj2id[name]
+        return out
+
+
+def collate(samples: list[dict]) -> dict:
+    """Stack per-sample dicts into one batch dict of numpy arrays."""
+    keys = samples[0].keys()
+    return {k: np.stack([s[k] for s in samples]) for k in keys}

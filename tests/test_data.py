@@ -1,0 +1,181 @@
+"""Data-layer integration tests on the tiny BOP fixture dataset: scene
+parsing, model store, train mapper target consistency (SITE ratios decode
+back to the GT pose), test mapper padding, loaders, samplers, augmentation.
+"""
+
+import numpy as np
+import pytest
+
+from gdrnet_tpu.config import base_config
+from gdrnet_tpu.data.bop import load_bop_scene_dicts
+from gdrnet_tpu.data.model_store import ObjectModels
+from gdrnet_tpu.data.mapper import GDRNTrainMapper, GDRNTestMapper, collate
+from gdrnet_tpu.data.loader import TrainLoader, InferenceLoader
+from gdrnet_tpu.data.samplers import (
+    training_sampler, repeat_factor_training_sampler, inference_sampler, batched)
+from gdrnet_tpu.data.augment import BackgroundReplacer, build_color_augmentor
+
+from fixture_bop import build_fixture_dataset
+
+
+@pytest.fixture(scope="module")
+def fixture_ds(tmp_path_factory):
+    root = tmp_path_factory.mktemp("bop_fixture")
+    meta = build_fixture_dataset(str(root), n_images=4, seed=3)
+    records = load_bop_scene_dicts(meta, "test", img_type="real")
+    models = ObjectModels(meta, num_pm_points=256, num_fps=8)
+    return meta, records, models
+
+
+def _cfg():
+    cfg = base_config()
+    cfg.MODEL.CDPN.ROT_HEAD.NUM_CLASSES = 2
+    cfg.INPUT.DZI_PAD_SCALE = 1.5
+    return cfg
+
+
+def test_scene_parsing(fixture_ds):
+    meta, records, _ = fixture_ds
+    assert len(records) == 8  # 4 images x 2 instances
+    r = records[0]
+    assert r["K"].shape == (3, 3)
+    assert r["R"].shape == (3, 3)
+    assert 0.3 < r["t"][2] < 0.8  # metres
+    assert r["label"] in ("cube", "brick")
+    assert r["visib_fract"] == 1.0
+
+
+def test_model_store(fixture_ds):
+    meta, _, models = fixture_ds
+    assert models.points["cube"].shape[1] == 3
+    np.testing.assert_allclose(models.extents["cube"], [0.08, 0.08, 0.08], atol=1e-5)
+    np.testing.assert_allclose(models.extents["brick"], [0.12, 0.06, 0.04], atol=1e-5)
+    # brick has the discrete symmetry from models_info
+    assert models.sym_rots["brick"] is not None
+    assert models.sym_rots["cube"] is None
+    assert models.fps_points["cube"].shape == (8, 3)
+    assert models.points_stack.shape[0] == 2
+    assert models.sym_mask_stack[1].sum() >= 2  # identity + 1 sym
+    d = models.diameters["cube"]
+    np.testing.assert_allclose(d, np.linalg.norm([0.08, 0.08, 0.08]), rtol=1e-5)
+
+
+def test_train_mapper_targets(fixture_ds):
+    """SITE targets must decode back to the GT translation and the xyz GT
+    must be consistent with the extent normalization."""
+    meta, records, models = fixture_ds
+    cfg = _cfg()
+    cfg.INPUT.DZI_TYPE = "none"  # deterministic
+    mapper = GDRNTrainMapper(cfg, models)
+    rng = np.random.RandomState(0)
+    s = mapper(records[0], rng)
+
+    assert s["roi_img"].shape == (256, 256, 3)
+    assert s["gt_xyz"].shape == (64, 64, 3)
+    assert s["gt_region"].max() <= 8 and s["gt_region"].min() == 0
+    m = s["gt_mask_visib"]
+    assert 0 < m.sum() < 64 * 64
+    # xyz normalized to [0,1] inside the mask
+    inside = s["gt_xyz"][m > 0]
+    assert inside.min() > -0.01 and inside.max() < 1.01
+    # region labels nonzero exactly on the (obj) mask
+    assert np.all((s["gt_region"] > 0) == (s["gt_mask_obj"] > 0))
+
+    # SITE decode: t = ((dx*bw + cx - px) z / fx, ..., z_ratio * rr)
+    K = s["roi_cams"]
+    dx, dy, zr = s["gt_trans_ratio"]
+    cx = dx * s["roi_whs"][0] + s["roi_centers"][0]
+    cy = dy * s["roi_whs"][1] + s["roi_centers"][1]
+    z = zr * s["resize_ratios"]
+    tx = z * (cx - K[0, 2]) / K[0, 0]
+    ty = z * (cy - K[1, 2]) / K[1, 1]
+    np.testing.assert_allclose([tx, ty, z], s["gt_trans"], rtol=1e-4, atol=1e-5)
+
+
+def test_train_mapper_bins(fixture_ds):
+    meta, records, models = fixture_ds
+    cfg = _cfg()
+    cfg.MODEL.CDPN.ROT_HEAD.XYZ_LOSS_TYPE = "CE_coor"
+    cfg.MODEL.CDPN.ROT_HEAD.XYZ_BIN = 16
+    mapper = GDRNTrainMapper(cfg, models)
+    s = mapper(records[1], np.random.RandomState(1))
+    bins = s["gt_xyz_bin"]
+    m = s["gt_mask_visib"]
+    assert bins.max() == 16  # bg bin
+    assert np.all(bins[m == 0] == 16)
+    assert np.all(bins[m > 0] < 16)
+
+
+def test_train_mapper_dzi_and_aug(fixture_ds):
+    meta, records, models = fixture_ds
+    cfg = _cfg()
+    cfg.INPUT.DZI_TYPE = "uniform"
+    cfg.INPUT.COLOR_AUG_PROB = 1.0
+    cfg.INPUT.COLOR_AUG_TYPE = "AAE"
+    cfg.INPUT.CHANGE_BG_PROB = 1.0
+    cfg.INPUT.TRUNCATE_FG = True
+    bg = BackgroundReplacer("")  # gradient fallback bg
+    mapper = GDRNTrainMapper(cfg, models, bg_replacer=bg)
+    s1 = mapper(records[0], np.random.RandomState(0))
+    s2 = mapper(records[0], np.random.RandomState(1))
+    # different DZI seeds -> different crops
+    assert not np.allclose(s1["roi_centers"], s2["roi_centers"])
+    # SITE identity still holds under DZI
+    for s in (s1, s2):
+        K = s["roi_cams"]
+        dx, dy, zr = s["gt_trans_ratio"]
+        cx = dx * s["roi_whs"][0] + s["roi_centers"][0]
+        z = zr * s["resize_ratios"]
+        tx = z * (cx - K[0, 2]) / K[0, 0]
+        np.testing.assert_allclose(tx, s["gt_trans"][0], rtol=1e-4, atol=1e-5)
+
+
+def test_color_augs_shapes(rng):
+    img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    for t in ("ROI10D", "AAE"):
+        fn = build_color_augmentor(t)
+        out = fn(img, np.random.RandomState(0))
+        assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_test_mapper_padding(fixture_ds):
+    meta, records, models = fixture_ds
+    cfg = _cfg()
+    mapper = GDRNTestMapper(cfg, models, roi_batch_size=8)
+    rec = records[0]
+    rois = [{"obj_id": rec["obj_id"],
+             "bbox": [rec["bbox_visib"][0], rec["bbox_visib"][1],
+                      rec["bbox_visib"][0] + rec["bbox_visib"][2],
+                      rec["bbox_visib"][1] + rec["bbox_visib"][3]],
+             "score": 0.9}]
+    batch = mapper(rec["rgb_path"], rec["K"], rois)
+    assert batch["roi_img"].shape == (8, 256, 256, 3)
+    assert batch["valid"].sum() == 1
+    assert batch["obj_ids"][0] == rec["obj_id"]
+
+
+def test_loaders(fixture_ds):
+    meta, records, models = fixture_ds
+    cfg = _cfg()
+    mapper = GDRNTrainMapper(cfg, models)
+    loader = TrainLoader(records, mapper, batch_size=4, num_workers=2, seed=0)
+    it = iter(loader)
+    b = next(it)
+    assert b["roi_img"].shape == (4, 256, 256, 3)
+    assert b["gt_points"].shape[0] == 4
+    b2 = next(it)
+    assert not np.allclose(b["roi_img"], b2["roi_img"])
+
+
+def test_samplers():
+    s = training_sampler(10, shard=0, num_shards=2, seed=0)
+    idxs = [next(s) for _ in range(10)]
+    assert all(0 <= i < 10 for i in idxs)
+    rf = repeat_factor_training_sampler(["a"] * 9 + ["b"], repeat_thresh=0.5, seed=0)
+    idxs = [next(rf) for _ in range(100)]
+    # rare class "b" (index 9) must be oversampled beyond its 10% share
+    assert idxs.count(9) / len(idxs) > 0.12
+    inf = list(inference_sampler(10, shard=1, num_shards=3))
+    assert inf == [4, 5, 6, 7]
+    bs = list(batched(iter(range(7)), 3))
+    assert bs == [[0, 1, 2], [3, 4, 5]]  # drop_last
