@@ -1,0 +1,61 @@
+"""Orbax checkpointing with the reference's resume semantics.
+
+Reference: MyCheckpointer + PeriodicCheckpointer (core/utils/my_checkpoint.py
+:9-54, engine.py:191-212) — checkpointables are model/optimizer/scheduler/
+gradscaler and `resume_or_load` returns the start iteration. Here the whole
+GDRNTrainState (params + BN stats + opt state + step) is one pytree; the LR
+schedule is a pure function of step and bf16 needs no scaler, so saving the
+state is complete. Keeps MAX_TO_KEEP latest checkpoints.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+
+import jax
+import orbax.checkpoint as ocp
+
+from gdrnet_tpu.engine.train_state import GDRNTrainState
+
+
+class CheckpointManager:
+    def __init__(self, ckpt_dir: str, max_to_keep: int = 5):
+        self.ckpt_dir = osp.abspath(ckpt_dir)
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        self.mgr = ocp.CheckpointManager(
+            self.ckpt_dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True),
+        )
+
+    def save(self, state: GDRNTrainState, step: int | None = None) -> None:
+        step = int(state.step) if step is None else step
+        self.mgr.save(step, args=ocp.args.StandardSave(state))
+
+    def wait(self) -> None:
+        self.mgr.wait_until_finished()
+
+    def latest_step(self) -> int | None:
+        return self.mgr.latest_step()
+
+    def resume_or_load(self, state: GDRNTrainState, resume: bool = True
+                       ) -> tuple[GDRNTrainState, int]:
+        """Returns (state, start_iter). With resume=False or no checkpoint,
+        start at 0 (reference resume_or_load, my_checkpoint.py + engine.py:204)."""
+        step = self.latest_step()
+        if not resume or step is None:
+            return state, 0
+        restored = self.mgr.restore(
+            step, args=ocp.args.StandardRestore(state))
+        return restored, int(step)
+
+
+def load_params_for_eval(ckpt_dir: str, state: GDRNTrainState) -> GDRNTrainState:
+    """Load the newest checkpoint for eval-only runs (reference
+    main_gdrn.py:120-122)."""
+    mgr = CheckpointManager(ckpt_dir)
+    restored, step = mgr.resume_or_load(state, resume=True)
+    if step == 0 and mgr.latest_step() is None:
+        raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+    return restored

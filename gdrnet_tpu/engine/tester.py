@@ -1,0 +1,116 @@
+"""Test-time orchestration: inference over padded ROI buckets + evaluation.
+
+The reference's do_test / gdrn_inference_on_dataset
+(core/gdrn_modeling/engine.py:121-142, gdrn_evaluator.py:516-631): per test
+image, all detections form one ROI batch (here padded to a static bucket so
+one compiled program serves every image), the net pose is decoded on device,
+and predictions flow into the in-process CustomEvaluator and/or a BOP19 CSV.
+Timing is split compute vs process with warmup excluded (:545-624).
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+import time
+from collections import defaultdict
+
+import jax
+import numpy as np
+
+from gdrnet_tpu.data import GDRNTestMapper, InferenceLoader, load_detections
+from gdrnet_tpu.engine.steps import make_predict_step
+from gdrnet_tpu.eval import CustomEvaluator, save_bop_results
+
+
+def build_test_items(records: list[dict], detections: dict | None = None,
+                     bbox_type: str = "gt") -> list:
+    """Group per-instance records into per-image (rgb_path, K, rois, gts).
+
+    bbox_type "gt": ROI boxes from GT annotations (TEST.TEST_BBOX_TYPE=gt);
+    "est": boxes from a detections dict (load_detections output)."""
+    by_img: dict = defaultdict(list)
+    for r in records:
+        by_img[(r["scene_id"], r["im_id"])].append(r)
+    items = []
+    for key, recs in sorted(by_img.items()):
+        r0 = recs[0]
+        if bbox_type == "gt" or detections is None:
+            rois = []
+            for r in recs:
+                x, y, w, h = r["bbox_visib"]
+                rois.append({"obj_id": r["obj_id"],
+                             "bbox": [x, y, x + w, y + h], "score": 1.0})
+        else:
+            rois = [dict(d, bbox=d.get("bbox_est", d.get("bbox")), bbox_mode="xywh")
+                    for d in detections.get(key, [])]
+        if rois:
+            items.append((r0["rgb_path"], r0["K"], rois,
+                          {"scene_id": key[0], "im_id": key[1], "gts": recs}))
+    return items
+
+
+def do_test(cfg, model, variables, models, records: list[dict],
+            output_dir: str | None = None, data_root: str = "datasets/BOP_DATASETS",
+            save_csv: bool = True) -> dict:
+    """Run inference + in-process eval. Returns the evaluator results dict."""
+    detections = None
+    if cfg.DATASETS.DET_FILES_TEST and cfg.TEST.TEST_BBOX_TYPE == "est":
+        detections = load_detections(
+            cfg.DATASETS.DET_FILES_TEST[0], score_thr=cfg.DATASETS.DET_THR,
+            topk_per_obj=cfg.DATASETS.DET_TOPK_PER_OBJ)
+    items = build_test_items(records, detections, cfg.TEST.TEST_BBOX_TYPE)
+
+    bucket = cfg.TEST.ROI_BATCH_SIZE
+    mapper = GDRNTestMapper(cfg, models, roi_batch_size=bucket)
+    loader = InferenceLoader(items, mapper)
+    predict = make_predict_step(model)
+
+    evaluator = CustomEvaluator(
+        models.objs, models.points, models.diameters,
+        sym_objs=[o for o in cfg.DATASETS.SYM_OBJS if o in models.objs],
+        sym_rots={k: v for k, v in models.sym_rots.items() if v is not None})
+
+    bop_results = []
+    total_compute, total_process, n_imgs = 0.0, 0.0, 0
+    for i, (batch, rois, info) in enumerate(iter(loader)):
+        t0 = time.perf_counter()
+        dev_batch = {k: v for k, v in batch.items()
+                     if k not in ("valid", "scores", "obj_ids")}
+        out = predict(variables, dev_batch)
+        rot = np.asarray(out["rot"])
+        trans = np.asarray(out["trans"])
+        if i >= 1:  # warmup-excluded timing (gdrn_evaluator.py:545-560)
+            total_compute += time.perf_counter() - t0
+            n_imgs += 1
+
+        t1 = time.perf_counter()
+        valid = batch["valid"]
+        gts_by_obj = {g["obj_id"]: g for g in info["gts"]}
+        for j in range(bucket):
+            if not valid[j]:
+                continue
+            obj_id = int(batch["obj_ids"][j])
+            name = models.meta.id2obj[obj_id]
+            bop_results.append({
+                "scene_id": info["scene_id"], "im_id": info["im_id"],
+                "obj_id": obj_id, "score": float(batch["scores"][j]),
+                "R": rot[j], "t": trans[j] * 1000.0,
+                "time": (time.perf_counter() - t0)})
+            gt = gts_by_obj.get(obj_id)
+            if gt is not None:
+                evaluator.process(name, rot[j], trans[j], gt["R"], gt["t"], gt["K"])
+        if i >= 1:
+            total_process += time.perf_counter() - t1
+
+    results = evaluator.evaluate()
+    if output_dir and save_csv:
+        csv_path = osp.join(
+            output_dir, f"{models.meta.name}-test_gdrnet-tpu.csv")
+        save_bop_results(csv_path, bop_results)
+        results["_csv_path"] = csv_path
+    if n_imgs:
+        results["_time"] = {"compute_s_per_img": total_compute / n_imgs,
+                            "process_s_per_img": total_process / n_imgs}
+    results["_summary"] = evaluator.summarize(
+        {k: v for k, v in results.items() if not k.startswith("_")})
+    return results

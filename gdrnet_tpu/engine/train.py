@@ -1,0 +1,92 @@
+"""CLI entrypoint: python -m gdrnet_tpu.engine.train --config-file <cfg.py>
+[--eval-only] [--resume] [--data-root ...] [opts KEY=VAL ...]
+
+The reference's main_gdrn.py (core/gdrn_modeling/main_gdrn.py:37-126 +
+train_gdrn.sh/test_gdrn.sh): load layered config, auto OUTPUT_DIR from the
+config path, train then test (or eval-only from a checkpoint).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+
+from gdrnet_tpu.config import base_config, load_config
+from gdrnet_tpu.config.config import apply_opts, merge_dict, Config
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="GDR-Net TPU train/test")
+    p.add_argument("--config-file", required=True)
+    p.add_argument("--eval-only", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--data-root", default="datasets/BOP_DATASETS")
+    p.add_argument("opts", nargs="*", default=[],
+                   help="KEY.PATH=value overrides")
+    return p.parse_args(argv)
+
+
+def setup(args) -> Config:
+    cfg = base_config()
+    file_cfg = load_config(args.config_file)
+    cfg = Config(merge_dict(cfg.to_dict(), file_cfg.to_dict()))
+    if args.opts:
+        apply_opts(cfg, args.opts)
+    if cfg.OUTPUT_DIR == "auto":
+        # reference main_gdrn.py:44-46: derive from the config file path
+        stem = osp.splitext(args.config_file)[0]
+        stem = stem.split("configs/")[-1]
+        cfg.OUTPUT_DIR = osp.join(cfg.OUTPUT_ROOT, stem)
+    if cfg.DEBUG:
+        cfg.DATALOADER.NUM_WORKERS = 0
+        cfg.TRAIN.PRINT_FREQ = 1
+    return cfg
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = setup(args)
+
+    from gdrnet_tpu.engine.trainer import do_train, build_train_objects
+    from gdrnet_tpu.engine.tester import do_test
+    from gdrnet_tpu.models import build_model
+    from gdrnet_tpu.data.dataset_factory import resolve
+    from gdrnet_tpu.data import ObjectModels
+
+    if args.eval_only:
+        import jax
+
+        from gdrnet_tpu.engine.checkpoint import load_params_for_eval
+        from gdrnet_tpu.engine.train_state import create_train_state
+        from gdrnet_tpu.solver import build_optimizer
+        from gdrnet_tpu.data.synthetic import synthetic_roi_batch
+
+        meta, records = resolve(cfg.DATASETS.TEST[0], args.data_root)
+        models = ObjectModels(meta, num_pm_points=cfg.MODEL.CDPN.PNP_NET.NUM_PM_POINTS,
+                              num_fps=cfg.MODEL.CDPN.ROT_HEAD.NUM_REGIONS)
+        model = build_model(cfg)
+        sample = {k: jax.numpy.asarray(v) for k, v in synthetic_roi_batch(
+            batch_size=2, input_res=cfg.MODEL.CDPN.BACKBONE.INPUT_RES,
+            out_res=cfg.MODEL.CDPN.BACKBONE.OUTPUT_RES).items()}
+        state = create_train_state(model, build_optimizer(cfg), sample,
+                                   jax.random.PRNGKey(0))
+        ckpt_dir = cfg.MODEL.WEIGHTS or osp.join(cfg.OUTPUT_DIR, "ckpt")
+        state = load_params_for_eval(ckpt_dir, state)
+        results = do_test(cfg, model, state.variables(), models, records,
+                          output_dir=cfg.OUTPUT_DIR, data_root=args.data_root)
+        print(results["_summary"])
+        return results
+
+    state, models = do_train(cfg, resume=args.resume, data_root=args.data_root)
+    if cfg.DATASETS.TEST:
+        meta, records = resolve(cfg.DATASETS.TEST[0], args.data_root)
+        model = build_model(cfg)
+        results = do_test(cfg, model, state.variables(), models, records,
+                          output_dir=cfg.OUTPUT_DIR, data_root=args.data_root)
+        print(results["_summary"])
+        return results
+    return None
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,158 @@
+"""Training orchestration: config -> data/model/optimizer/mesh -> hot loop.
+
+The reference's GDRN_Lite.do_train (core/gdrn_modeling/engine.py:144-333)
+re-expressed TPU-style: one jitted train_step (forward+loss+grad+opt, see
+engine/steps.py) over a 1-D data mesh, host-side threaded loader feeding it,
+loss scalars already replicated (no reduce_dict), orbax periodic
+checkpointing, console/json/tb writers, periodic in-train eval, and the
+finite-loss tripwire (engine.py:271).
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gdrnet_tpu.data import (
+    ObjectModels,
+    GDRNTrainMapper,
+    TrainLoader,
+    BackgroundReplacer,
+)
+from gdrnet_tpu.data.dataset_factory import resolve
+from gdrnet_tpu.engine.checkpoint import CheckpointManager
+from gdrnet_tpu.engine.steps import make_train_step
+from gdrnet_tpu.engine.train_state import create_train_state
+from gdrnet_tpu.engine.writers import ConsoleWriter, EventLog, JsonWriter, setup_logger
+from gdrnet_tpu.models import build_model
+from gdrnet_tpu.parallel import make_mesh, shard_batch, replicated_sharding
+from gdrnet_tpu.solver import build_lr_schedule, build_optimizer
+
+
+def build_train_objects(cfg, data_root: str = "datasets/BOP_DATASETS"):
+    """Resolve datasets + models + mapper + loader from cfg."""
+    names = list(cfg.DATASETS.TRAIN)
+    assert names, "DATASETS.TRAIN is empty"
+    meta, records = resolve(names[0], data_root,
+                            visib_thr=cfg.DATALOADER.FILTER_VISIB_THR)
+    for extra in names[1:]:
+        _, more = resolve(extra, data_root,
+                          visib_thr=cfg.DATALOADER.FILTER_VISIB_THR)
+        records = records + more
+    records2 = []
+    if cfg.DATASETS.TRAIN2 and cfg.DATASETS.TRAIN2_RATIO > 0:
+        for extra in cfg.DATASETS.TRAIN2:
+            _, more = resolve(extra, data_root,
+                              visib_thr=cfg.DATALOADER.FILTER_VISIB_THR)
+            records2 += more
+
+    models = ObjectModels(
+        meta, num_pm_points=cfg.MODEL.CDPN.PNP_NET.NUM_PM_POINTS,
+        num_fps=cfg.MODEL.CDPN.ROT_HEAD.NUM_REGIONS)
+    bg = None
+    if cfg.INPUT.CHANGE_BG_PROB > 0 or any(
+            r.get("img_type", "real") != "real" for r in records):
+        bg = BackgroundReplacer(
+            cfg.INPUT.BG_IMGS_ROOT, cfg.INPUT.NUM_BG_IMGS,
+            keep_aspect=cfg.INPUT.BG_KEEP_ASPECT_RATIO,
+            bg_type=cfg.INPUT.BG_TYPE)
+    mapper = GDRNTrainMapper(cfg, models, bg_replacer=bg)
+    return meta, records, records2, models, mapper
+
+
+def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS",
+             max_iters_override: int | None = None, eval_fn=None):
+    """Returns the final train state. eval_fn(cfg, state, models) is called
+    every TEST.EVAL_PERIOD epochs if provided (engine.py:285-292)."""
+    out_dir = cfg.OUTPUT_DIR if cfg.OUTPUT_DIR != "auto" else osp.join(
+        cfg.OUTPUT_ROOT, cfg.EXP_NAME or "gdrn")
+    logger = setup_logger(out_dir)
+
+    meta, records, records2, models, mapper = build_train_objects(cfg, data_root)
+
+    ims_per_batch = cfg.SOLVER.IMS_PER_BATCH
+    iters_per_epoch = max(len(records) // ims_per_batch, 1)
+    total_iters = (max_iters_override
+                   or iters_per_epoch * cfg.SOLVER.TOTAL_EPOCHS)
+    logger.info(f"{len(records)} records, {iters_per_epoch} iters/epoch, "
+                f"{total_iters} total iters")
+
+    loader = TrainLoader(
+        records, mapper, ims_per_batch,
+        sampler_name=cfg.DATALOADER.SAMPLER_TRAIN,
+        repeat_thresh=cfg.DATALOADER.REPEAT_THRESHOLD,
+        num_workers=cfg.DATALOADER.NUM_WORKERS,
+        seed=max(cfg.SEED, 0),
+        records2=records2, ratio2=cfg.DATASETS.TRAIN2_RATIO)
+
+    # mesh over the largest device count that divides the global batch
+    # (the reference asserts divisibility, dataset_utils.py:196-198; we clamp)
+    n_avail = len(jax.devices())
+    n_dev = max(d for d in range(1, n_avail + 1) if ims_per_batch % d == 0)
+    if n_dev != n_avail:
+        logger.warning(f"batch {ims_per_batch} not divisible by {n_avail} "
+                       f"devices; using a {n_dev}-device mesh")
+    mesh = make_mesh(n_dev)
+    model = build_model(cfg)
+    base_lr = dict(cfg.SOLVER.OPTIMIZER_CFG).get("lr", 1e-4)
+    schedule = build_lr_schedule(cfg, base_lr, total_iters)
+    optimizer = build_optimizer(cfg, lr_schedule=schedule)
+
+    loader_iter = iter(loader)
+    t0 = time.perf_counter()
+    first_batch = next(loader_iter)
+    data_time = time.perf_counter() - t0
+
+    batch_dev = shard_batch({k: jnp.asarray(v) for k, v in first_batch.items()
+                             if k not in ("sym_info",)}, mesh)
+    rng = jax.random.PRNGKey(max(cfg.SEED, 0))
+    state = create_train_state(model, optimizer, batch_dev, rng)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    train_step = make_train_step(cfg, model, optimizer, mesh=mesh)
+
+    ckpt = CheckpointManager(osp.join(out_dir, "ckpt"),
+                             max_to_keep=cfg.SOLVER.MAX_TO_KEEP)
+    state, start_iter = ckpt.resume_or_load(state, resume=resume)
+
+    ev = EventLog()
+    writers = [ConsoleWriter(total_iters), JsonWriter(osp.join(out_dir, "metrics.json"))]
+    ckpt_every = (cfg.SOLVER.CHECKPOINT_PERIOD * iters_per_epoch
+                  if cfg.SOLVER.CHECKPOINT_BY_EPOCH else cfg.SOLVER.CHECKPOINT_PERIOD)
+    eval_every = cfg.TEST.EVAL_PERIOD * iters_per_epoch if cfg.TEST.EVAL_PERIOD else 0
+    print_every = cfg.TRAIN.PRINT_FREQ
+
+    batch = batch_dev
+    for it in range(start_iter, total_iters):
+        step_rng = jax.random.fold_in(rng, it)
+        t_step = time.perf_counter()
+        state, metrics = train_step(state, batch, step_rng)
+        # overlap: fetch next batch while the device runs
+        if it + 1 < total_iters:
+            t0 = time.perf_counter()
+            nb = next(loader_iter)
+            batch = shard_batch({k: jnp.asarray(v) for k, v in nb.items()}, mesh)
+            data_time = time.perf_counter() - t0
+        total = float(metrics["total_loss"])  # also forces completion
+        step_time = time.perf_counter() - t_step
+        if not np.isfinite(total):  # NaN tripwire (engine.py:271)
+            raise FloatingPointError(f"non-finite loss at iter {it}: {total}")
+
+        ev.iter = it
+        ev.put(total_loss=total, lr=float(schedule(it)),
+               **{k: float(v) for k, v in metrics.items() if k != "total_loss"})
+        ev.put(**{"time/step": step_time, "time/data": data_time})
+        if it % print_every == 0 or it == total_iters - 1:
+            for w in writers:
+                w.write(ev)
+        if ckpt_every and (it + 1) % ckpt_every == 0:
+            ckpt.save(state, it + 1)
+        if eval_every and (it + 1) % eval_every == 0 and eval_fn is not None:
+            eval_fn(cfg, state, models)
+
+    ckpt.save(state, total_iters)
+    ckpt.wait()
+    return state, models

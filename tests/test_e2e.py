@@ -1,0 +1,110 @@
+"""End-to-end slice test (SURVEY.md §7 stage 4): on the tiny fixture BOP
+dataset run the full train loop (loader -> pjit train step -> ckpt) for a few
+dozen iterations, check the loss drops and resume works, then run the test
+loop (padded ROI buckets -> predict -> CustomEvaluator -> BOP CSV)."""
+
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from gdrnet_tpu.config import base_config
+from gdrnet_tpu.data import ObjectModels
+from gdrnet_tpu.data.bop import load_bop_scene_dicts
+from gdrnet_tpu.data.dataset_factory import register, resolve
+from gdrnet_tpu.models import build_model
+
+from fixture_bop import build_fixture_dataset
+
+
+@pytest.fixture(scope="module")
+def fixture_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("bop_e2e")
+    meta = build_fixture_dataset(str(root), n_images=4, seed=11)
+
+    def _resolver():
+        recs = load_bop_scene_dicts(meta, "test", img_type="real")
+        return meta, recs
+
+    register("fixture_train", _resolver)
+    register("fixture_test", _resolver)
+    return meta, root
+
+
+def _tiny_cfg(out_dir):
+    cfg = base_config()
+    cfg.OUTPUT_DIR = str(out_dir)
+    cfg.SEED = 1
+    bb = cfg.MODEL.CDPN.BACKBONE
+    bb.NUM_LAYERS = 18
+    bb.INPUT_RES = 64
+    bb.OUTPUT_RES = 16
+    cfg.MODEL.CDPN.ROT_HEAD.NUM_CLASSES = 2
+    cfg.MODEL.CDPN.ROT_HEAD.NUM_REGIONS = 4
+    pnp = cfg.MODEL.CDPN.PNP_NET
+    pnp.WITH_2D_COORD = True
+    pnp.REGION_ATTENTION = True
+    pnp.PM_LOSS_SYM = True
+    pnp.CENTROID_LW = 1.0
+    pnp.Z_LW = 1.0
+    pnp.NUM_PM_POINTS = 64
+    cfg.SOLVER.IMS_PER_BATCH = 4
+    # Adam here: Ranger's pre-rectification phase is deliberately slow and
+    # this run is 60 iters (Ranger itself is covered in test_solver.py)
+    cfg.SOLVER.OPTIMIZER_CFG = {"type": "Adam", "lr": 1e-3, "weight_decay": 0}
+    cfg.SOLVER.WARMUP_ITERS = 5
+    cfg.SOLVER.ANNEAL_POINT = 1.0  # stay flat for the whole tiny run
+    cfg.SOLVER.CHECKPOINT_PERIOD = 1000  # only the final save
+    cfg.SOLVER.CHECKPOINT_BY_EPOCH = False
+    cfg.DATALOADER.NUM_WORKERS = 2
+    cfg.DATASETS.TRAIN = ("fixture_train",)
+    cfg.DATASETS.TEST = ("fixture_test",)
+    cfg.DATASETS.SYM_OBJS = ["brick"]
+    cfg.TRAIN.PRINT_FREQ = 10
+    cfg.TEST.ROI_BATCH_SIZE = 4
+    return cfg
+
+
+def test_train_eval_resume(fixture_env, tmp_path):
+    from gdrnet_tpu.engine.trainer import do_train
+    from gdrnet_tpu.engine.tester import do_test
+    from gdrnet_tpu.engine.checkpoint import CheckpointManager
+
+    meta, root = fixture_env
+    cfg = _tiny_cfg(tmp_path / "out")
+
+    # --- train 40 iters, capture metrics.json for the loss trajectory
+    state, models = do_train(cfg, max_iters_override=60)
+    assert int(state.step) == 60
+
+    import json
+    with open(osp.join(cfg.OUTPUT_DIR, "metrics.json")) as f:
+        rows = [json.loads(l) for l in f]
+    losses = [r["total_loss"] for r in rows]
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0] * 0.9, f"loss did not drop: {losses} "
+
+    # --- checkpoint was written and resume restores the step
+    mgr = CheckpointManager(osp.join(cfg.OUTPUT_DIR, "ckpt"))
+    assert mgr.latest_step() == 60
+    restored, start = mgr.resume_or_load(state, resume=True)
+    assert start == 60
+    np.testing.assert_allclose(
+        np.asarray(restored.params["pnp_net"]["fc_r"]["kernel"]),
+        np.asarray(state.params["pnp_net"]["fc_r"]["kernel"]))
+
+    # --- test loop: inference + evaluator + BOP CSV
+    model = build_model(cfg)
+    _, records = resolve("fixture_test")
+    results = do_test(cfg, model, state.variables(), models, records,
+                      output_dir=cfg.OUTPUT_DIR)
+    assert "Avg" in results
+    for name in ("cube", "brick"):
+        assert name in results
+        assert 0.0 <= results[name]["ad_10"] <= 1.0
+        assert results[name]["count"] == 4
+    assert osp.exists(results["_csv_path"])
+    from gdrnet_tpu.eval import load_bop_results
+    loaded = load_bop_results(results["_csv_path"])
+    assert len(loaded) == 8  # 4 images x 2 objects
+    assert "objects" in results["_summary"]
