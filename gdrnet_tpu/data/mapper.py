@@ -69,6 +69,18 @@ def get_2d_coord_np(w: int, h: int) -> np.ndarray:
     return np.stack([xm, ym], axis=-1)
 
 
+def roi_coord_2d(im_w: int, im_h: int, center, scale, out_res: int) -> np.ndarray:
+    """Full-image normalized coord map cropped to the ROI — encodes WHERE the
+    ROI sits in the image (reference crops get_2d_coord_np(im_W, im_H) with
+    the same affine, data_loader.py:501-504). Computed in closed form instead
+    of warping the full map."""
+    M = affine_params(center, scale, 0.0, out_res, inv=True)
+    dy, dx = np.mgrid[0:out_res, 0:out_res].astype(np.float32)
+    sx = M[0, 0] * dx + M[0, 1] * dy + M[0, 2]
+    sy = M[1, 0] * dx + M[1, 1] * dy + M[1, 2]
+    return np.stack([sx / max(im_w - 1, 1), sy / max(im_h - 1, 1)], axis=-1)
+
+
 def xyz_to_region_np(xyz: np.ndarray, fps_points: np.ndarray) -> np.ndarray:
     """Nearest-FPS region labels, 0 = bg (data_utils.xyz_to_region:213)."""
     mask = np.any(xyz != 0, axis=-1)
@@ -197,7 +209,7 @@ class GDRNTrainMapper:
         sample = {
             "roi_img": roi_img.astype(np.float32),
             "roi_classes": np.int32(cls),
-            "roi_coord_2d": self.coord2d,
+            "roi_coord_2d": roi_coord_2d(im_w, im_h, center, scale, self.out_res),
             "roi_cams": rec["K"].astype(np.float32),
             "roi_centers": center.astype(np.float32),
             "roi_whs": np.asarray([bw, bh], np.float32),
@@ -264,7 +276,7 @@ class GDRNTestMapper:
         out = {
             "roi_img": np.zeros((bs, self.input_res, self.input_res, 3), np.float32),
             "roi_classes": np.zeros(bs, np.int32),
-            "roi_coord_2d": np.tile(self.coord2d[None], (bs, 1, 1, 1)),
+            "roi_coord_2d": np.zeros((bs, self.out_res, self.out_res, 2), np.float32),
             "roi_cams": np.tile(K.astype(np.float32)[None], (bs, 1, 1)),
             "roi_centers": np.zeros((bs, 2), np.float32),
             "roi_whs": np.ones((bs, 2), np.float32),
@@ -273,6 +285,7 @@ class GDRNTestMapper:
             "valid": np.zeros(bs, bool),
             "scores": np.zeros(bs, np.float32),
             "obj_ids": np.zeros(bs, np.int32),
+            "im_hw": np.asarray(img.shape[:2], np.int32),
         }
         for i, det in enumerate(rois):
             if "label" in det:
@@ -289,6 +302,8 @@ class GDRNTestMapper:
             scale = min(max(bh, bw) * self.pad_scale, max(img.shape[:2])) * 1.0
             roi = crop_resize(img, center, scale, self.input_res, cv2.INTER_LINEAR)
             out["roi_img"][i] = (roi.astype(np.float32) - self.pixel_mean) / self.pixel_std
+            out["roi_coord_2d"][i] = roi_coord_2d(
+                img.shape[1], img.shape[0], center, scale, self.out_res)
             out["roi_classes"][i] = cls
             out["roi_centers"][i] = center
             out["roi_whs"][i] = (bw, bh)

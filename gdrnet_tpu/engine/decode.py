@@ -1,0 +1,34 @@
+"""Head-output decoding helpers (reference engine_utils.py:92-126
+get_out_coor / get_out_mask): binned-CE xyz channels -> continuous [0,1]
+coords via argmax bin centers; mask logits -> probability. Channels-last.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def get_out_coor(coor_x: jnp.ndarray, coor_y: jnp.ndarray, coor_z: jnp.ndarray,
+                 xyz_bin: int = 64) -> jnp.ndarray:
+    """[B,H,W,1] (L1 mode) or [B,H,W,bin+1] (CE mode, last=bg) per channel ->
+    [B,H,W,3] coords in [0,1] (engine_utils.get_out_coor:92-105: argmax over
+    bins excluding bg, then bin index / bin)."""
+    outs = []
+    for c in (coor_x, coor_y, coor_z):
+        if c.shape[-1] == 1:
+            outs.append(c[..., 0])
+        else:
+            idx = jnp.argmax(c[..., :-1], axis=-1).astype(jnp.float32)
+            outs.append((idx + 0.5) / xyz_bin)
+    return jnp.stack(outs, axis=-1)
+
+
+def get_out_mask(mask: jnp.ndarray, mask_loss_type: str = "L1") -> jnp.ndarray:
+    """[B,H,W,C] mask head channels -> [B,H,W] probability
+    (engine_utils.get_out_mask:108-126)."""
+    if mask_loss_type == "CE":
+        return jax.nn.softmax(mask, axis=-1)[..., 1]
+    if mask_loss_type == "BCE":
+        return jax.nn.sigmoid(mask[..., 0])
+    return mask[..., 0]  # L1: raw prob-ish output

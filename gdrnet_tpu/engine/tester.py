@@ -18,8 +18,14 @@ import jax
 import numpy as np
 
 from gdrnet_tpu.data import GDRNTestMapper, InferenceLoader, load_detections
+from gdrnet_tpu.engine.decode import get_out_coor, get_out_mask
 from gdrnet_tpu.engine.steps import make_predict_step
 from gdrnet_tpu.eval import CustomEvaluator, save_bop_results
+from gdrnet_tpu.eval.pnp import (
+    correspondences_from_maps,
+    pnp_ransac,
+    pnp_refine_from_net,
+)
 
 
 def build_test_items(records: list[dict], detections: dict | None = None,
@@ -60,10 +66,12 @@ def do_test(cfg, model, variables, models, records: list[dict],
             topk_per_obj=cfg.DATASETS.DET_TOPK_PER_OBJ)
     items = build_test_items(records, detections, cfg.TEST.TEST_BBOX_TYPE)
 
+    use_pnp = cfg.TEST.USE_PNP
+    pnp_type = cfg.TEST.PNP_TYPE  # ransac_pnp | net_iter_pnp | net_ransac_pnp
     bucket = cfg.TEST.ROI_BATCH_SIZE
     mapper = GDRNTestMapper(cfg, models, roi_batch_size=bucket)
     loader = InferenceLoader(items, mapper)
-    predict = make_predict_step(model)
+    predict = make_predict_step(model, with_maps=use_pnp)
 
     evaluator = CustomEvaluator(
         models.objs, models.points, models.diameters,
@@ -75,16 +83,43 @@ def do_test(cfg, model, variables, models, records: list[dict],
     for i, (batch, rois, info) in enumerate(iter(loader)):
         t0 = time.perf_counter()
         dev_batch = {k: v for k, v in batch.items()
-                     if k not in ("valid", "scores", "obj_ids")}
+                     if k not in ("valid", "scores", "obj_ids", "im_hw")}
         out = predict(variables, dev_batch)
         rot = np.asarray(out["rot"])
         trans = np.asarray(out["trans"])
+        if use_pnp:
+            xyz_dec = np.asarray(get_out_coor(
+                out["coor_x"], out["coor_y"], out["coor_z"],
+                cfg.MODEL.CDPN.ROT_HEAD.XYZ_BIN))
+            mask_dec = np.asarray(get_out_mask(
+                out["mask"], cfg.MODEL.CDPN.ROT_HEAD.MASK_LOSS_TYPE))
         if i >= 1:  # warmup-excluded timing (gdrn_evaluator.py:545-560)
             total_compute += time.perf_counter() - t0
             n_imgs += 1
 
         t1 = time.perf_counter()
         valid = batch["valid"]
+        if use_pnp:
+            im_h, im_w = (int(batch["im_hw"][0]), int(batch["im_hw"][1]))
+            mask_thr = cfg.MODEL.CDPN.ROT_HEAD.MASK_THR_TEST
+            for j in range(bucket):
+                if not valid[j]:
+                    continue
+                name = models.meta.id2obj[int(batch["obj_ids"][j])]
+                extent = models.extents[name]
+                img_pts, mdl_pts = correspondences_from_maps(
+                    mask_dec[j], xyz_dec[j], batch["roi_coord_2d"][j],
+                    im_w, im_h, extent, mask_thr=mask_thr)
+                K = np.asarray(batch["roi_cams"][j])
+                if pnp_type == "ransac_pnp":
+                    pose = pnp_ransac(mdl_pts, img_pts, K, method="epnp",
+                                      ransac=True)
+                    if pose is not None:
+                        rot[j], trans[j] = pose[:, :3], pose[:, 3]
+                else:  # net_iter_pnp | net_ransac_pnp
+                    ptype = "ransac" if "ransac" in pnp_type else "iter"
+                    rot[j], trans[j] = pnp_refine_from_net(
+                        rot[j], trans[j], mdl_pts, img_pts, K, pnp_type=ptype)
         gts_by_obj = {g["obj_id"]: g for g in info["gts"]}
         for j in range(bucket):
             if not valid[j]:
