@@ -64,6 +64,30 @@ def get_fps_and_center(pts, num_fps: int = 8, init_center: bool = True):
     return jnp.concatenate([fps_pts, center], axis=0)
 
 
+# native C++ twin (gdrnet_tpu/csrc/fps/fps.cpp) — OpenMP host kernel for
+# offline mesh tools; same semantics as the JAX/numpy paths
+
+def farthest_point_sampling_cpp(pts: np.ndarray, k: int, init_center: bool = True,
+                                start_idx: int = 0) -> np.ndarray:
+    import ctypes
+
+    from gdrnet_tpu.csrc import load_library
+
+    lib = load_library("fps")
+    lib.fps_sample.restype = ctypes.c_int
+    pts = np.ascontiguousarray(pts, np.float32)
+    n = pts.shape[0]
+    out = np.empty(k, np.int64)
+    ret = lib.fps_sample(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(n), ctypes.c_int64(k), ctypes.c_int(int(init_center)),
+        ctypes.c_int64(start_idx),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if ret != 0:
+        raise ValueError(f"fps_sample failed: n={n}, k={k}")
+    return pts[out]
+
+
 # host/numpy twin (bit-exact with the C++ tool; used by offline tools when
 # spinning up a TPU context is overkill)
 

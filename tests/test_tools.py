@@ -1,0 +1,71 @@
+"""Tools + native kernel tests: C++ FPS bit-parity with the numpy twin,
+fps_points.pkl generation, xyz_crop generation on the fixture dataset."""
+
+import os.path as osp
+import pickle
+
+import numpy as np
+import pytest
+
+from gdrnet_tpu.ops.fps import farthest_point_sampling_np
+
+from fixture_bop import build_fixture_dataset
+
+
+def test_cpp_fps_matches_numpy(rng):
+    from gdrnet_tpu.csrc import fps_native_available
+
+    if not fps_native_available():
+        pytest.skip("no C++ toolchain")
+    from gdrnet_tpu.ops.fps import farthest_point_sampling_cpp
+
+    pts = rng.rand(5000, 3).astype(np.float32)
+    for init_center in (True, False):
+        a = farthest_point_sampling_cpp(pts, 32, init_center=init_center)
+        b = farthest_point_sampling_np(pts, 32, init_center=init_center)
+        np.testing.assert_array_equal(a, b)
+
+
+def test_jax_fps_matches_numpy(rng):
+    from gdrnet_tpu.ops.fps import farthest_point_sampling
+
+    pts = rng.rand(2000, 3).astype(np.float32)
+    a = np.asarray(farthest_point_sampling(pts, 16, init_center=True))
+    b = farthest_point_sampling_np(pts, 16, init_center=True)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_compute_fps_tool(tmp_path):
+    meta = build_fixture_dataset(str(tmp_path), n_images=1, seed=5)
+    import sys
+    sys.path.insert(0, osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), "tools"))
+    from compute_fps import compute_fps_dict
+
+    d = compute_fps_dict(meta.model_dir, [1, 2], vertex_scale=0.001)
+    # cube has 8 verts -> only fps4(5 rows incl center) and fps8 available
+    assert "fps4_and_center" in d["1"]
+    assert d["1"]["fps4_and_center"].shape == (5, 3)
+    assert d["1"]["fps8_and_center"].shape == (9, 3)
+    assert "fps16_and_center" not in d["1"]  # k > n verts skipped
+
+
+def test_gen_xyz_tool(tmp_path):
+    meta = build_fixture_dataset(str(tmp_path), n_images=2, seed=6)
+    # wipe the fixture's own xyz crops, regenerate with the tool
+    import shutil
+    scene = osp.join(meta.data_root, "test", "000001")
+    shutil.rmtree(osp.join(scene, "xyz_crop"))
+    import sys
+    sys.path.insert(0, osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), "tools"))
+    from gen_xyz import gen_split_xyz
+
+    n = gen_split_xyz(meta, "test", chunk=64)
+    assert n == 4  # 2 images x 2 instances
+    with open(osp.join(scene, "xyz_crop", "000000_000000.pkl"), "rb") as f:
+        info = pickle.load(f)
+    assert info["xyz_crop"].dtype == np.float16
+    x1, y1, x2, y2 = info["xyxy"]
+    assert info["xyz_crop"].shape == (y2 - y1 + 1, x2 - x1 + 1, 3)
+    # coords inside the cube bounds
+    nz = info["xyz_crop"][np.any(info["xyz_crop"] != 0, axis=-1)]
+    assert np.abs(nz).max() <= 0.05

@@ -1,0 +1,91 @@
+"""Generate dense XYZ-coordinate GT crops for a BOP split with the XLA
+rasterizer — the reference's EGL-renderer tool chain
+(tools/lm/lm_pbr_1_gen_xyz_crop.py:98-207 in /root/reference) without
+OpenGL: per GT instance, render the mesh's object coordinates under the GT
+pose (gdrnet_tpu/ops/rasterizer.py interpolates vertex coords
+perspective-correctly — no depth backprojection step), crop to the mask
+bbox, save float16 {xyz_crop, xyxy} pkl.
+
+Usage:
+  python tools/gen_xyz.py --dataset lm --split test --data-root datasets/BOP_DATASETS
+  python tools/gen_xyz.py --dataset lmo --split train_pbr --scenes 0 1 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import os.path as osp
+import pickle
+import sys
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), ".."))
+
+import numpy as np  # noqa: E402
+
+from gdrnet_tpu.data.ply import load_ply  # noqa: E402
+from gdrnet_tpu.data.ref_meta import get_meta  # noqa: E402
+
+
+def gen_split_xyz(meta, split: str, scenes: list[int] | None = None,
+                  overwrite: bool = False, chunk: int = 2048) -> int:
+    from gdrnet_tpu.ops.rasterizer import render_xyz, xyz_crop_from_render
+
+    split_dir = osp.join(meta.data_root, split)
+    if scenes is None:
+        scenes = sorted(int(d) for d in os.listdir(split_dir)
+                        if d.isdigit() and osp.isdir(osp.join(split_dir, d)))
+    meshes: dict = {}
+    n_done = 0
+    for scene_id in scenes:
+        scene_dir = osp.join(split_dir, f"{scene_id:06d}")
+        with open(osp.join(scene_dir, "scene_gt.json")) as f:
+            gt = json.load(f)
+        with open(osp.join(scene_dir, "scene_camera.json")) as f:
+            cams = json.load(f)
+        out_dir = osp.join(scene_dir, "xyz_crop")
+        os.makedirs(out_dir, exist_ok=True)
+        for im_id_s, insts in sorted(gt.items(), key=lambda kv: int(kv[0])):
+            im_id = int(im_id_s)
+            K = np.asarray(cams[im_id_s]["cam_K"], np.float32).reshape(3, 3)
+            for inst_i, inst in enumerate(insts):
+                out_path = osp.join(out_dir, f"{im_id:06d}_{inst_i:06d}.pkl")
+                if osp.exists(out_path) and not overwrite:
+                    continue
+                obj_id = int(inst["obj_id"])
+                if obj_id not in meshes:
+                    ply = load_ply(meta.model_path(obj_id),
+                                   vertex_scale=meta.vertex_scale)
+                    meshes[obj_id] = (ply["pts"], ply["faces"])
+                verts, faces = meshes[obj_id]
+                R = np.asarray(inst["cam_R_m2c"], np.float32).reshape(3, 3)
+                t = np.asarray(inst["cam_t_m2c"], np.float32) / 1000.0
+                depth, xyz = render_xyz(verts, faces, K, R, t,
+                                        height=meta.height, width=meta.width,
+                                        chunk=chunk)
+                info = xyz_crop_from_render(np.asarray(depth), np.asarray(xyz))
+                with open(out_path, "wb") as f:
+                    pickle.dump(info, f)
+                n_done += 1
+        print(f"scene {scene_id}: done ({n_done} crops so far)")
+    return n_done
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--split", default="test")
+    p.add_argument("--data-root", default="datasets/BOP_DATASETS")
+    p.add_argument("--scenes", type=int, nargs="*", default=None)
+    p.add_argument("--overwrite", action="store_true")
+    p.add_argument("--chunk", type=int, default=2048,
+                   help="rasterizer face-chunk size (bigger = faster on TPU)")
+    args = p.parse_args(argv)
+    meta = get_meta(args.dataset, args.data_root)
+    n = gen_split_xyz(meta, args.split, args.scenes, args.overwrite, args.chunk)
+    print(f"generated {n} xyz crops")
+
+
+if __name__ == "__main__":
+    main()
