@@ -31,6 +31,8 @@ class ConvPnPNet(nn.Module):
     drop_prob: float = 0.0
     dropblock_size: int = 5
     mask_attention_type: str = "none"  # none | mul | concat
+    fc1_dim: int = 1024
+    fc2_dim: int = 256
     denormalize_by_extent: bool = True
     freeze: bool = False
     dtype: Any = jnp.float32
@@ -73,9 +75,9 @@ class ConvPnPNet(nn.Module):
 
         x = x.reshape(x.shape[0], -1)
         act = lambda v: nn.leaky_relu(v, 0.1)
-        x = act(nn.Dense(1024, kernel_init=nn.initializers.normal(0.001),
+        x = act(nn.Dense(self.fc1_dim, kernel_init=nn.initializers.normal(0.001),
                          dtype=self.dtype, name="fc1")(x))
-        x = act(nn.Dense(256, kernel_init=nn.initializers.normal(0.001),
+        x = act(nn.Dense(self.fc2_dim, kernel_init=nn.initializers.normal(0.001),
                          dtype=self.dtype, name="fc2")(x))
         x = x.astype(jnp.float32)
         rot = nn.Dense(self.rot_dim, kernel_init=nn.initializers.normal(0.01), name="fc_r")(x)

@@ -20,7 +20,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from gdrnet_tpu.models.layers import ConvNormAct, upsample_bilinear_align_corners
+from gdrnet_tpu.models.layers import (
+    ConvNormAct,
+    ConvTranspose2dTorch,
+    upsample_bilinear_align_corners,
+)
 
 
 class RotWithRegionHead(nn.Module):
@@ -52,14 +56,17 @@ class RotWithRegionHead(nn.Module):
     def __call__(self, x: jnp.ndarray, x_f64=None, x_f32=None, x_f16=None,
                  *, train: bool = False) -> jnp.ndarray:
         train = train and not self.freeze
-        # stride-2 transposed conv: 8 -> 16
-        x = nn.ConvTranspose(
+        # stride-2 transposed conv: 8 -> 16 (torch ConvTranspose2d parity:
+        # k=3 -> p=1/op=1, k=2 -> p=0/op=0, k=4 -> p=1/op=0, reference
+        # cdpn_rot_head_region.py:35-40)
+        pad, out_pad = {2: (0, 0), 3: (1, 1), 4: (1, 0)}[self.kernel_size]
+        x = ConvTranspose2dTorch(
             self.num_filters,
-            (self.kernel_size, self.kernel_size),
-            strides=(2, 2),
-            padding="SAME",
+            kernel_size=self.kernel_size,
+            stride=2,
+            padding=pad,
+            output_padding=out_pad,
             use_bias=False,
-            kernel_init=nn.initializers.normal(0.001),
             dtype=self.dtype,
             name="deconv",
         )(x)

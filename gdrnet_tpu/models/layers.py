@@ -95,6 +95,45 @@ class DropBlock2D(nn.Module):
         return x * keep / denom
 
 
+class ConvTranspose2dTorch(nn.Module):
+    """Transposed conv with torch ConvTranspose2d semantics (k, s=2, p=1,
+    op=1 -> exact 2x upsample), expressed as a dilated conv:
+    out = conv(dilate(x, s), flip(K)) with padding (k-1-p, k-1-p+op).
+
+    flax's nn.ConvTranspose pads differently from torch for these settings
+    (verified numerically), so this module keeps weight-level parity with
+    reference checkpoints. Kernel layout [kh, kw, in, out]; a torch weight
+    [in, out, kh, kw] converts via transpose(2, 3, 0, 1).
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 2
+    padding: int = 1
+    output_padding: int = 1
+    use_bias: bool = False
+    kernel_init: Callable = nn.initializers.normal(0.001)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (k, k, in_ch, self.features))
+        pad_lo = k - 1 - self.padding
+        pad_hi = pad_lo + self.output_padding
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), jnp.flip(kernel, (0, 1)).astype(self.dtype),
+            window_strides=(1, 1), padding=[(pad_lo, pad_hi)] * 2,
+            lhs_dilation=(self.stride, self.stride),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class ConvNormAct(nn.Module):
     """Conv -> norm -> ReLU with the reference's init (normal std=0.001)."""
 
@@ -112,7 +151,7 @@ class ConvNormAct(nn.Module):
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding="SAME",
+            padding=[(self.kernel // 2, self.kernel // 2)] * 2,
             use_bias=self.use_bias,
             kernel_init=nn.initializers.normal(0.001),
             dtype=self.dtype,

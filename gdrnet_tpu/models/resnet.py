@@ -41,11 +41,11 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool):
         residual = x
-        y = nn.Conv(self.features, (3, 3), (self.stride, self.stride), padding="SAME",
+        y = nn.Conv(self.features, (3, 3), (self.stride, self.stride), padding=[(1, 1), (1, 1)],
                     use_bias=False, dtype=self.dtype)(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(y)
+        y = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype)(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype)(y)
         if residual.shape != y.shape:
             residual = nn.Conv(self.features, (1, 1), (self.stride, self.stride),
@@ -66,7 +66,7 @@ class Bottleneck(nn.Module):
         y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), (self.stride, self.stride), padding="SAME",
+        y = nn.Conv(self.features, (3, 3), (self.stride, self.stride), padding=[(1, 1), (1, 1)],
                     use_bias=False, dtype=self.dtype)(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype)(y)
         y = nn.relu(y)
