@@ -1,0 +1,92 @@
+"""Visible Surface Discrepancy (VSD) — jnp, depth renders from the XLA
+rasterizer instead of the reference's external C++/GL bop renderers
+(lib/pysixd/pose_error.vsd:22-129, renderer factory lib/pysixd/renderer.py:77).
+
+Pipeline per estimate (all on device, one jit):
+  render depth(est pose), depth(gt pose) -> distance images
+  visib_gt  = (d_gt>0)  & (d_gt - d_test <= delta | d_test==0)   [bop19]
+  visib_est = ((d_est>0) & (d_est - d_test <= delta | d_test==0))
+              | (visib_gt & d_est>0)
+  e(tau) = (#(|d_gt-d_est| >= tau on inter) + #(union \\ inter)) / #union
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gdrnet_tpu.ops.rasterizer import render_xyz
+
+
+@partial(jax.jit, static_argnames=())
+def depth_to_dist(depth: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
+    """Depth (Z) image -> distance-from-camera-center image
+    (misc.depth_im_to_dist_im_fast, lib/pysixd/misc.py:571-590)."""
+    h, w = depth.shape
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    xn = (xs.astype(depth.dtype) - K[0, 2]) / K[0, 0]
+    yn = (ys.astype(depth.dtype) - K[1, 2]) / K[1, 1]
+    return depth * jnp.sqrt(xn * xn + yn * yn + 1.0)
+
+
+def _visib_mask(d_test, d_model, delta, mode: str = "bop19"):
+    d_diff = d_model - d_test
+    if mode == "bop18":
+        return (d_test > 0) & (d_model > 0) & (d_diff <= delta)
+    return ((d_diff <= delta) | (d_test == 0)) & (d_model > 0)
+
+
+@partial(jax.jit, static_argnames=("cost_type", "visib_mode",
+                                   "normalized_by_diameter"))
+def vsd_from_depths(depth_est, depth_gt, depth_test, K, delta, taus,
+                    diameter, normalized_by_diameter: bool = True,
+                    cost_type: str = "step", visib_mode: str = "bop19"):
+    """taus: [T] array. Returns [T] errors."""
+    d_test = depth_to_dist(depth_test, K)
+    d_gt = depth_to_dist(depth_gt, K)
+    d_est = depth_to_dist(depth_est, K)
+
+    visib_gt = _visib_mask(d_test, d_gt, delta, visib_mode)
+    visib_est = _visib_mask(d_test, d_est, delta, visib_mode)
+    visib_est = visib_est | (visib_gt & (d_est > 0))
+
+    inter = visib_gt & visib_est
+    union = visib_gt | visib_est
+    union_count = jnp.sum(union)
+    comp_count = union_count - jnp.sum(inter)
+
+    dists = jnp.abs(d_gt - d_est)
+    if normalized_by_diameter:
+        dists = dists / diameter
+
+    def per_tau(tau):
+        if cost_type == "step":
+            costs = (dists >= tau) & inter
+            cost_sum = jnp.sum(costs)
+        else:  # tlinear
+            costs = jnp.clip(dists / tau, 0.0, 1.0) * inter
+            cost_sum = jnp.sum(costs)
+        return (cost_sum + comp_count) / jnp.maximum(union_count, 1)
+
+    errs = jax.vmap(per_tau)(jnp.asarray(taus))
+    return jnp.where(union_count == 0, jnp.ones_like(errs), errs)
+
+
+def vsd(R_est, t_est, R_gt, t_gt, depth_test, K, verts, faces,
+        delta: float = 15.0 / 1000.0, taus=None, diameter: float = 0.1,
+        normalized_by_diameter: bool = True, cost_type: str = "step"):
+    """Full VSD for one estimate: renders both poses with the XLA
+    rasterizer. depth_test in metres (BOP depth png / depth_scale / 1000).
+    Default delta=15mm, taus=0.05..0.5 step 0.05 (BOP19)."""
+    if taus is None:
+        taus = np.arange(0.05, 0.51, 0.05)
+    h, w = depth_test.shape
+    depth_est, _ = render_xyz(verts, faces, K, R_est, t_est, height=h, width=w)
+    depth_gt, _ = render_xyz(verts, faces, K, R_gt, t_gt, height=h, width=w)
+    return np.asarray(vsd_from_depths(
+        depth_est, depth_gt, jnp.asarray(depth_test, jnp.float32),
+        jnp.asarray(K, jnp.float32), delta, np.asarray(taus, np.float32),
+        diameter, normalized_by_diameter, cost_type))

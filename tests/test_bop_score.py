@@ -1,0 +1,110 @@
+"""BOP score orchestration + VSD tests on synthetic estimates."""
+
+import numpy as np
+import pytest
+
+from gdrnet_tpu.eval.bop_score import (
+    score_results, match_estimates_to_gt, bop19_average_recall)
+from gdrnet_tpu.eval.vsd import vsd, vsd_from_depths, depth_to_dist
+from gdrnet_tpu.ops.rasterizer import render_xyz
+
+from fixture_bop import build_fixture_dataset
+
+
+class _Models:
+    """Minimal ObjectModels stand-in."""
+
+    def __init__(self, meta, points, diameters, sym_rots):
+        self.meta = meta
+        self.points = points
+        self.diameters = diameters
+        self.sym_rots = sym_rots
+
+
+@pytest.fixture(scope="module")
+def scored_setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("bop_score")
+    meta = build_fixture_dataset(str(root), n_images=3, seed=21)
+    from gdrnet_tpu.data.bop import load_bop_scene_dicts
+    from gdrnet_tpu.data.model_store import ObjectModels
+
+    records = load_bop_scene_dicts(meta, "test")
+    models = ObjectModels(meta, num_pm_points=128)
+    return meta, records, models
+
+
+def _results_from_gts(gts, noise_r=0.0, noise_t=0.0, rng=None):
+    out = []
+    for g in gts:
+        R = g["R"].copy()
+        t = g["t"].copy()
+        if noise_r > 0:
+            ax = rng.randn(3); ax /= np.linalg.norm(ax)
+            a = np.radians(noise_r)
+            Kx = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]], [-ax[1], ax[0], 0]])
+            R = (np.eye(3) + np.sin(a) * Kx + (1 - np.cos(a)) * Kx @ Kx) @ R
+        if noise_t > 0:
+            t = t + rng.randn(3) * noise_t
+        out.append({"scene_id": g["scene_id"], "im_id": g["im_id"],
+                    "obj_id": g["obj_id"], "score": 1.0, "R": R, "t": t * 1000.0})
+    return out
+
+
+def test_perfect_estimates_score_one(scored_setup):
+    meta, records, models = scored_setup
+    results = _results_from_gts(records)
+    scores = score_results(results, records,
+                           models, "ad,add,adi,rete,re,te,proj,mssd,mspd,AUCad")
+    for etype in ("ad", "add", "adi", "mssd", "mspd"):
+        assert scores[etype]["avg"] == pytest.approx(1.0), etype
+    assert scores["AUCad"]["avg"] > 0.99
+    assert bop19_average_recall(scores) == pytest.approx(1.0)
+
+
+def test_bad_estimates_score_low(scored_setup, rng):
+    meta, records, models = scored_setup
+    results = _results_from_gts(records, noise_r=90.0, noise_t=0.3, rng=rng)
+    scores = score_results(results, records, models, "ad,mssd,re")
+    assert scores["ad"]["avg"] < 0.3
+    assert scores["mssd"]["avg"] < 0.5
+
+
+def test_missing_estimates_counted(scored_setup):
+    meta, records, models = scored_setup
+    results = _results_from_gts(records)[: len(records) // 2]
+    pairs = match_estimates_to_gt(results, records)
+    assert sum(1 for e, _ in pairs if e is None) == len(records) - len(results)
+    scores = score_results(results, records, models, "ad")
+    assert 0.3 < scores["ad"]["avg"] < 0.8
+
+
+def test_vsd_perfect_and_shifted(scored_setup):
+    meta, records, models = scored_setup
+    from gdrnet_tpu.data.ply import load_ply
+
+    rec = records[0]
+    ply = load_ply(meta.model_path(rec["obj_id"]), vertex_scale=0.001)
+    verts, faces = ply["pts"], ply["faces"]
+    depth_gt, _ = render_xyz(verts, faces, rec["K"], rec["R"], rec["t"],
+                             height=meta.height, width=meta.width)
+    depth_test = np.asarray(depth_gt)  # scene depth = object only
+
+    dia = models.diameters[meta.id2obj[rec["obj_id"]]]
+    errs = vsd(rec["R"], rec["t"], rec["R"], rec["t"], depth_test, rec["K"],
+               verts, faces, diameter=dia)
+    assert np.all(errs < 0.01)  # perfect pose -> ~0 everywhere
+
+    # 5 cm z-shift: large visible discrepancy at small taus
+    t_bad = rec["t"] + np.array([0, 0, 0.05], np.float32)
+    errs_bad = vsd(rec["R"], t_bad, rec["R"], rec["t"], depth_test, rec["K"],
+                   verts, faces, diameter=dia)
+    assert errs_bad[0] > 0.5  # tau=0.05*dia << 5cm shift
+    assert errs_bad[0] >= errs_bad[-1] - 1e-6  # monotone non-increasing in tau
+
+
+def test_depth_to_dist_center_pixel():
+    K = np.array([[280.0, 0, 16], [0, 280.0, 12], [0, 0, 1]], np.float32)
+    depth = np.zeros((24, 32), np.float32)
+    depth[12, 16] = 2.0
+    dist = np.asarray(depth_to_dist(depth, K))
+    assert dist[12, 16] == pytest.approx(2.0, abs=1e-5)  # principal ray
