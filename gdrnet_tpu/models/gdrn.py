@@ -94,6 +94,7 @@ class GDRN(nn.Module):
     mask_class_aware: bool = False
     region_class_aware: bool = False
     # pnp net
+    pnp_head_type: str = "ConvPnPNet"  # ConvPnPNet | PointPnPNet | SimplePointPnPNet
     pnp_norm: str = "GN"
     pnp_gn_groups: int = 32
     pnp_featdim: int = 128
@@ -146,19 +147,37 @@ class GDRN(nn.Module):
             dtype=self.dtype,
             name="rot_head",
         )
-        self.pnp_net = ConvPnPNet(
-            rot_dim=rot_param_dim(self.rot_type),
-            featdim=self.pnp_featdim,
-            num_layers=self.pnp_num_layers,
-            norm=self.pnp_norm,
-            num_gn_groups=self.pnp_gn_groups,
-            drop_prob=self.pnp_drop_prob,
-            dropblock_size=self.pnp_dropblock_size,
-            mask_attention_type=self.mask_attention,
-            freeze=self.pnp_freeze,
-            dtype=self.dtype,
-            name="pnp_net",
-        )
+        if self.pnp_head_type == "ConvPnPNet":
+            self.pnp_net = ConvPnPNet(
+                rot_dim=rot_param_dim(self.rot_type),
+                featdim=self.pnp_featdim,
+                num_layers=self.pnp_num_layers,
+                norm=self.pnp_norm,
+                num_gn_groups=self.pnp_gn_groups,
+                drop_prob=self.pnp_drop_prob,
+                dropblock_size=self.pnp_dropblock_size,
+                mask_attention_type=self.mask_attention,
+                freeze=self.pnp_freeze,
+                dtype=self.dtype,
+                name="pnp_net",
+            )
+        elif self.pnp_head_type == "PointPnPNet":
+            from gdrnet_tpu.models.point_pnp_net import PointPnPNet
+
+            self.pnp_net = PointPnPNet(
+                rot_dim=rot_param_dim(self.rot_type),
+                num_regions=self.num_regions,
+                mask_attention_type=self.mask_attention,
+                dtype=self.dtype, name="pnp_net")
+        elif self.pnp_head_type == "SimplePointPnPNet":
+            from gdrnet_tpu.models.point_pnp_net import SimplePointPnPNet
+
+            self.pnp_net = SimplePointPnPNet(
+                rot_dim=rot_param_dim(self.rot_type),
+                mask_attention_type=self.mask_attention,
+                dtype=self.dtype, name="pnp_net")
+        else:
+            raise ValueError(f"Unknown pnp head type: {self.pnp_head_type}")
         if self.trans_head_enabled or self.r_only:
             self.trans_head = TransHeadNet(
                 freeze=self.trans_head_freeze, dtype=self.dtype, name="trans_head")
@@ -285,6 +304,7 @@ def build_model(cfg) -> GDRN:
         rot_class_aware=rh.ROT_CLASS_AWARE,
         mask_class_aware=rh.MASK_CLASS_AWARE,
         region_class_aware=rh.REGION_CLASS_AWARE,
+        pnp_head_type=pnp_head_cfg.get("type", "ConvPnPNet"),
         pnp_norm=pnp_head_cfg.get("norm", "GN"),
         pnp_gn_groups=pnp_head_cfg.get("num_gn_groups", 32),
         pnp_featdim=pnp_head_cfg.get("featdim", 128),

@@ -199,3 +199,31 @@ def test_gdrn_grads_finite(rng):
     assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
     # at least some gradient is nonzero
     assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+
+
+@pytest.mark.parametrize("head", ["PointPnPNet", "SimplePointPnPNet"])
+def test_gdrn_point_pnp_variants(rng, head):
+    cfg = base_config()
+    cfg.MODEL.CDPN.PNP_NET.PNP_HEAD_CFG = {"type": head}
+    cfg.MODEL.CDPN.PNP_NET.REGION_ATTENTION = True
+    batch = _roi_batch(rng)
+    model, variables, out = _init_and_forward(cfg, batch)
+    assert out["rot"].shape == (2, 3, 3)
+    assert np.all(np.isfinite(np.asarray(out["rot"])))
+    # std-0.001 inits (reference parity) leave rot6d ~0 at init; seed the
+    # rot head bias so the ortho6d decode is non-degenerate, then check SO(3)
+    import flax
+    params = flax.core.unfreeze(variables["params"]) if hasattr(flax.core, "unfreeze") else dict(variables["params"])
+    key = "fc_r" if "fc_r" in params["pnp_net"] else "fc_pose"
+    params["pnp_net"][key]["bias"] = params["pnp_net"][key]["bias"] + np.r_[
+        np.array([1.0, 0.1, 0.2, -0.3, 0.9, 0.4]),
+        np.zeros(params["pnp_net"][key]["bias"].shape[0] - 6)].astype(np.float32)
+    variables = dict(variables, params=params)
+    kwargs = dict(
+        roi_classes=batch["roi_classes"], roi_coord_2d=batch["roi_coord_2d"],
+        roi_cams=batch["roi_cams"], roi_centers=batch["roi_centers"],
+        roi_whs=batch["roi_whs"], roi_extents=batch["roi_extents"],
+        resize_ratios=batch["resize_ratios"], train=False)
+    out = model.apply(variables, batch["roi_img"], **kwargs)
+    rtr = np.einsum("bij,bkj->bik", out["rot"], out["rot"])
+    np.testing.assert_allclose(rtr, np.tile(np.eye(3), (2, 1, 1)), atol=1e-4)
