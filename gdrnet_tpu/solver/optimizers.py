@@ -210,6 +210,104 @@ def sgd_gc(learning_rate: ScalarOrSchedule, momentum: float = 0.9,
     return optax.chain(*chain)
 
 
+# ---------------------------------------------------------------------------
+# projection-based optimizers (AdamP/SGDP, reference adamp.py / sgdp.py)
+# ---------------------------------------------------------------------------
+
+
+def project_scale_invariant(delta: float = 0.1, wd_ratio: float = 0.1,
+                            weight_decay: float = 0.0) -> optax.GradientTransformation:
+    """AdamP/SGDP projection: for scale-invariant params (cosine similarity
+    between param and update below delta/sqrt(dim)), remove the radial
+    component of the update so the effective step does not inflate the norm
+    (Heo et al. 2021; reference lib/torch_utils/solver/adamp.py)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params):
+        assert params is not None
+
+        def proj(u, p):
+            if u.ndim < 1:
+                return u
+            pv = p.reshape(-1)
+            uv = u.reshape(-1)
+            pn = pv / (jnp.linalg.norm(pv) + 1e-12)
+            cos = jnp.abs(jnp.dot(pn, uv)) / (jnp.linalg.norm(uv) + 1e-12)
+            thresh = delta / jnp.sqrt(pv.shape[0])
+            u_proj = uv - jnp.dot(uv, pn) * pn
+            wd = jnp.where(cos < thresh, wd_ratio, 1.0)
+            out = jnp.where(cos < thresh, u_proj, uv).reshape(u.shape)
+            if weight_decay > 0:
+                out = out + weight_decay * wd * p
+            return out
+
+        return jax.tree.map(proj, updates, params), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def adamp(learning_rate: ScalarOrSchedule, b1: float = 0.9, b2: float = 0.999,
+          eps: float = 1e-8, weight_decay: float = 0.0, delta: float = 0.1,
+          wd_ratio: float = 0.1) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+        project_scale_invariant(delta, wd_ratio, weight_decay),
+        _lr_scale(learning_rate))
+
+
+def sgdp(learning_rate: ScalarOrSchedule, momentum: float = 0.9,
+         weight_decay: float = 0.0, nesterov: bool = False,
+         delta: float = 0.1, wd_ratio: float = 0.1) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.trace(decay=momentum, nesterov=nesterov),
+        project_scale_invariant(delta, wd_ratio, weight_decay),
+        _lr_scale(learning_rate))
+
+
+def layerwise_trust_ratio(eps: float = 1e-8) -> optax.GradientTransformation:
+    """LARS-style per-tensor trust ratio |p| / |u| (reference ralamb.py)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params):
+        assert params is not None
+
+        def scale(u, p):
+            if u.ndim < 1:
+                return u
+            pn = jnp.clip(jnp.linalg.norm(p), 0.0, 10.0)  # ralamb.py:93 clamp
+            un = jnp.linalg.norm(u)
+            trust = jnp.where((pn > 0) & (un > 0), pn / (un + eps), 1.0)
+            return u * trust
+
+        return jax.tree.map(scale, updates, params), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def ralamb(learning_rate: ScalarOrSchedule, b1: float = 0.95, b2: float = 0.999,
+           eps: float = 1e-5, weight_decay: float = 0.0) -> optax.GradientTransformation:
+    """RAdam + LAMB trust ratio (reference ralamb.py)."""
+    chain = [scale_by_radam(b1=b1, b2=b2, eps=eps)]
+    if weight_decay > 0:
+        chain.append(optax.add_decayed_weights(weight_decay))
+    chain.append(layerwise_trust_ratio())
+    chain.append(_lr_scale(learning_rate))
+    return optax.chain(*chain)
+
+
+def over9000(learning_rate: ScalarOrSchedule, alpha: float = 0.5, k: int = 6,
+             weight_decay: float = 0.0) -> optax.GradientTransformation:
+    """RangerLars = Ralamb inside Lookahead (reference over9000.py)."""
+    return with_lookahead(ralamb(learning_rate, weight_decay=weight_decay),
+                          alpha=alpha, k=k)
+
+
 _BUILDERS: dict[str, Callable] = {}
 
 
@@ -259,11 +357,44 @@ def _b_sgd(lr, oc):
                   gc_conv_only=oc.get("type", "SGD").lower() == "sgd_gcc")
 
 
-@_register("rmsprop")
+@_register("rmsprop", "rmsprop_tf")
 def _b_rmsprop(lr, oc):
+    # optax scale_by_rms defaults to eps-inside-sqrt, i.e. the TF semantics
+    # the reference's rmsprop_tf.py reimplements for torch
     return optax.rmsprop(lr, decay=oc.get("alpha", 0.99),
                          momentum=oc.get("momentum", 0.0),
                          eps=oc.get("eps", 1e-8))
+
+
+@_register("adamp")
+def _b_adamp(lr, oc):
+    return adamp(lr, weight_decay=oc.get("weight_decay", 0.0),
+                 delta=oc.get("delta", 0.1), wd_ratio=oc.get("wd_ratio", 0.1))
+
+
+@_register("sgdp")
+def _b_sgdp(lr, oc):
+    return sgdp(lr, momentum=oc.get("momentum", 0.9),
+                weight_decay=oc.get("weight_decay", 0.0),
+                nesterov=oc.get("nesterov", False))
+
+
+@_register("ralamb")
+def _b_ralamb(lr, oc):
+    return ralamb(lr, weight_decay=oc.get("weight_decay", 0.0))
+
+
+@_register("over9000", "rangerlars")
+def _b_over9000(lr, oc):
+    return over9000(lr, weight_decay=oc.get("weight_decay", 0.0))
+
+
+@_register("ranger2020")
+def _b_ranger2020(lr, oc):
+    # Ranger2020 differs from Ranger in GC defaults; same composition here
+    return ranger(lr, weight_decay=oc.get("weight_decay", 0.0),
+                  use_gc=oc.get("use_gc", True),
+                  gc_conv_only=oc.get("gc_conv_only", False))
 
 
 def build_optimizer(cfg, lr_schedule: Optional[Callable] = None,

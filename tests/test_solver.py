@@ -136,3 +136,14 @@ def test_build_optimizer_with_lr_mult():
     # pnp update must be ~0.1x the backbone update
     ratio = float(jnp.abs(updates["pnp_net"]["w"][0] / updates["backbone"]["w"][0]))
     np.testing.assert_allclose(ratio, 0.1, rtol=1e-4)
+
+
+@pytest.mark.parametrize("name", ["AdamP", "SGDP", "Ralamb", "over9000",
+                                  "RMSprop_tf", "Ranger2020", "AdaBelief"])
+def test_optimizer_zoo_converges(name):
+    from gdrnet_tpu.solver.optimizers import _BUILDERS
+    opt = _BUILDERS[name.lower()](0.05, {"weight_decay": 0.0, "momentum": 0.9})
+    # LARS-style trust ratios (Ralamb/over9000) step ~lr*|p| near the optimum
+    # and plateau rather than converge tightly on a tiny quadratic
+    tol = 0.5 if name.lower() in ("ralamb", "over9000") else 0.1
+    assert _converges(opt, steps=600) < tol, name
