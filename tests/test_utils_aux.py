@@ -1,0 +1,57 @@
+"""Aux subsystem tests: vis helpers, multihost degradations, profiler timer."""
+
+import numpy as np
+
+from gdrnet_tpu.utils.vis import (
+    grid_show, vis_image_bboxes_cv2, vis_image_mask_cv2,
+    draw_projected_box3d, vis_xyz_map, colormap)
+from gdrnet_tpu.parallel.multihost import (
+    get_rank, get_world_size, is_main_process, synchronize,
+    all_gather_objects, reduce_dict_mean)
+from gdrnet_tpu.engine.profiling import StepTimer, trace
+
+
+def test_vis_helpers(rng, tmp_path):
+    img = (rng.rand(60, 80, 3) * 255).astype(np.uint8)
+    out = vis_image_bboxes_cv2(img, [[5, 5, 40, 40]], labels=["ape"])
+    assert out.shape == img.shape
+    mask = np.zeros((60, 80), bool)
+    mask[10:30, 10:30] = True
+    out = vis_image_mask_cv2(img, mask, 1)
+    assert out.dtype == np.uint8
+    corners = rng.rand(8, 2) * 50
+    out = draw_projected_box3d(img, corners)
+    assert out.shape == img.shape
+    xyz = vis_xyz_map(rng.rand(16, 16, 3))
+    assert xyz.dtype == np.uint8
+    fig = grid_show([img, mask.astype(np.float32)], ["img", "mask"], row=1,
+                    save_path=str(tmp_path / "grid.png"))
+    assert (tmp_path / "grid.png").exists()
+    assert isinstance(colormap(3), list)
+
+
+def test_multihost_single_process():
+    assert get_rank() == 0
+    assert get_world_size() == 1
+    assert is_main_process()
+    synchronize()  # no-op
+    assert all_gather_objects({"a": 1}) == [{"a": 1}]
+    assert reduce_dict_mean({"x": 2.0}) == {"x": 2.0}
+
+
+def test_step_timer():
+    t = StepTimer(warmup=1)
+    for _ in range(3):
+        t.start("compute")
+        t.stop()
+        t.start("process")
+        t.stop()
+        t.step_done()
+    rep = t.report()
+    assert set(rep) == {"compute_s_per_step", "process_s_per_step"}
+    assert all(v >= 0 for v in rep.values())
+
+
+def test_trace_noop():
+    with trace(None):
+        pass
