@@ -121,12 +121,33 @@ def aug_aae(img, rng):
     return img
 
 
+def aug_ssd(img, rng):
+    """SSD-style photometric distortion (reference ColorAugSSDTransform,
+    core/utils/ssd_color_transform.py:10): random brightness, contrast,
+    saturation, hue in randomized order."""
+    if rng.rand() < 0.5:
+        img = aug_brightness_add(img, rng, -32, 32)
+    if rng.rand() < 0.5:  # contrast-first or contrast-last ordering
+        if rng.rand() < 0.5:
+            img = aug_contrast(img, rng, 0.5, 1.5)
+        img = aug_saturation(img, rng, 0.5, 1.5)
+        img = aug_hue(img, rng, 18)
+    else:
+        img = aug_saturation(img, rng, 0.5, 1.5)
+        img = aug_hue(img, rng, 18)
+        if rng.rand() < 0.5:
+            img = aug_contrast(img, rng, 0.5, 1.5)
+    return img
+
+
 def build_color_augmentor(aug_type: str = "ROI10D") -> Callable:
     key = aug_type.lower()
     if key in ("roi10d",):
         return aug_roi10d
     if key in ("aae", "code", "code_albu"):  # code pipelines approximate AAE
         return aug_aae
+    if key in ("ssd",):
+        return aug_ssd
     raise ValueError(f"Unknown color aug type: {aug_type}")
 
 
