@@ -38,28 +38,34 @@ def upsample_bilinear_align_corners(x: jnp.ndarray, scale: int = 2) -> jnp.ndarr
 
     Matches torch nn.UpsamplingBilinear2d(scale_factor=2) used by the geometry
     head (reference cdpn_rot_head_region.py:66,104): output grid point i maps
-    to input coordinate i*(H-1)/(OH-1). jax.image.resize uses half-pixel
-    centers, so this is written as an explicit gather-free lerp.
+    to input coordinate i*(H-1)/(OH-1).
+
+    TPU note: expressed as two small dense interpolation matmuls
+    (out = Wy @ x @ Wx^T) instead of index gathers — the interpolation
+    matrices are trace-time numpy constants and the contraction rides the
+    MXU; gathers on [B,64,64,256] maps were the head's hotspot.
     """
+    import numpy as np
+
     B, H, W, C = x.shape
     OH, OW = H * scale, W * scale
 
-    def _axis_weights(n_in: int, n_out: int):
+    def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
+        m = np.zeros((n_out, n_in), np.float32)
         if n_in == 1:
-            idx0 = jnp.zeros((n_out,), jnp.int32)
-            return idx0, idx0, jnp.zeros((n_out,), x.dtype)
-        pos = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / (n_out - 1)
-        i0 = jnp.floor(pos).astype(jnp.int32)
-        i0 = jnp.clip(i0, 0, n_in - 2)
-        w = (pos - i0.astype(jnp.float32)).astype(x.dtype)
-        return i0, i0 + 1, w
+            m[:, 0] = 1.0
+            return m
+        pos = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+        i0 = np.clip(np.floor(pos).astype(np.int64), 0, n_in - 2)
+        w = (pos - i0).astype(np.float32)
+        m[np.arange(n_out), i0] = 1.0 - w
+        m[np.arange(n_out), i0 + 1] = w
+        return m
 
-    y0, y1, wy = _axis_weights(H, OH)
-    x0, x1, wx = _axis_weights(W, OW)
-
-    top = x[:, y0][:, :, x0] * (1 - wx[None, None, :, None]) + x[:, y0][:, :, x1] * wx[None, None, :, None]
-    bot = x[:, y1][:, :, x0] * (1 - wx[None, None, :, None]) + x[:, y1][:, :, x1] * wx[None, None, :, None]
-    return top * (1 - wy[None, :, None, None]) + bot * wy[None, :, None, None]
+    wy = jnp.asarray(_interp_matrix(H, OH), x.dtype)
+    wx = jnp.asarray(_interp_matrix(W, OW), x.dtype)
+    y = jnp.einsum("oh,bhwc->bowc", wy, x)
+    return jnp.einsum("ow,bhwc->bhoc", wx, y)
 
 
 class DropBlock2D(nn.Module):
