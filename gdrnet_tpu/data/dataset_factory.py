@@ -15,8 +15,17 @@ from __future__ import annotations
 
 from typing import Callable
 
+import os.path as _osp
+
 from gdrnet_tpu.data.ref_meta import get_meta, DatasetMeta
 from gdrnet_tpu.data.bop import load_bop_scene_dicts
+
+
+def osp_join_root(data_root: str, sub: str) -> str:
+    """Renders live beside (not inside) BOP_DATASETS (reference layout:
+    datasets/lm_renders_blender vs datasets/BOP_DATASETS/lm)."""
+    parent = _osp.dirname(data_root.rstrip("/")) or "."
+    return _osp.join(parent, sub)
 
 _REGISTRY: dict[str, Callable[[], tuple[DatasetMeta, list[dict]]]] = {}
 
@@ -33,6 +42,25 @@ def resolve(name: str, data_root: str = "datasets/BOP_DATASETS",
 
     parts = name.split("_")
     ds = parts[0]
+    if ds == "lm" and ("blender" in parts or "imgn" in parts):
+        # lm_blender_13_train | lm_imgn_13_train_1k_per_obj
+        # (reference lm_blender.py:304 / lm_syn_imgn.py)
+        from gdrnet_tpu.data.render_dataset import load_render_folder_dicts
+
+        meta = get_meta("lm13" if "13" in parts else "lm", data_root)
+        n_per_obj = -1
+        for p in parts:
+            if p.endswith("k") and p[:-1].isdigit():
+                n_per_obj = int(p[:-1]) * 1000
+        kind = "blender" if "blender" in parts else "imgn"
+        sub = ("lm_renders_blender/renders" if kind == "blender"
+               else "lm_imgn/imgn")
+        renders_root = osp_join_root(data_root, sub)
+        recs = load_render_folder_dicts(
+            meta, renders_root, objs=meta.objects, n_per_obj=n_per_obj,
+            img_type="syn_blender" if kind == "blender" else "syn",
+            visib_thr=visib_thr)
+        return meta, recs
     if ds == "lm":
         meta = get_meta("lm13" if "13" in parts else "lm", data_root)
         if "pbr" in parts:

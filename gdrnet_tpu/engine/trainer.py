@@ -120,6 +120,14 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
 
     ev = EventLog()
     writers = [ConsoleWriter(total_iters), JsonWriter(osp.join(out_dir, "metrics.json"))]
+    tb = None
+    if cfg.TRAIN.VIS_IMG or cfg.VIS_PERIOD:
+        from gdrnet_tpu.engine.writers import TensorboardWriter
+
+        tb = TensorboardWriter(osp.join(out_dir, "tb"))
+        if tb.tb is not None:
+            writers.append(tb)
+    vis_predict = None
     ckpt_every = (cfg.SOLVER.CHECKPOINT_PERIOD * iters_per_epoch
                   if cfg.SOLVER.CHECKPOINT_BY_EPOCH else cfg.SOLVER.CHECKPOINT_PERIOD)
     eval_every = cfg.TEST.EVAL_PERIOD * iters_per_epoch if cfg.TEST.EVAL_PERIOD else 0
@@ -148,9 +156,48 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
         if it % print_every == 0 or it == total_iters - 1:
             for w in writers:
                 w.write(ev)
+            # tensorboard image panels: input / gt / pred xyz + mask
+            # (reference engine.py:300-326 TRAIN.VIS_IMG)
+            if cfg.TRAIN.VIS_IMG and tb is not None and tb.tb is not None:
+                from gdrnet_tpu.engine.steps import make_predict_step
+                from gdrnet_tpu.engine.decode import get_out_coor, get_out_mask
+
+                if vis_predict is None:
+                    vis_predict = make_predict_step(model, with_maps=True)
+                out = vis_predict(
+                    {"params": state.params, "batch_stats": state.batch_stats}
+                    if state.batch_stats else {"params": state.params}, batch)
+                xyz_pred = np.asarray(get_out_coor(
+                    out["coor_x"], out["coor_y"], out["coor_z"],
+                    cfg.MODEL.CDPN.ROT_HEAD.XYZ_BIN))[0]
+                mask_pred = np.asarray(get_out_mask(
+                    out["mask"], cfg.MODEL.CDPN.ROT_HEAD.MASK_LOSS_TYPE))[0]
+                img0 = np.asarray(batch["roi_img"][0])
+                img0 = (img0 - img0.min()) / max(img0.max() - img0.min(), 1e-6)
+                tb.tb.add_image("vis/roi_img", img0, it, dataformats="HWC")
+                tb.tb.add_image("vis/xyz_pred", np.clip(xyz_pred, 0, 1), it,
+                                dataformats="HWC")
+                tb.tb.add_image("vis/xyz_gt", np.clip(np.asarray(batch["gt_xyz"][0]), 0, 1),
+                                it, dataformats="HWC")
+                tb.tb.add_image("vis/mask_pred", np.clip(mask_pred, 0, 1)[None], it)
+                tb.tb.add_image("vis/mask_gt", np.asarray(batch["gt_mask_visib"][0])[None], it)
         if ckpt_every and (it + 1) % ckpt_every == 0:
             ckpt.save(state, it + 1)
         if eval_every and (it + 1) % eval_every == 0 and eval_fn is not None:
+            if cfg.TEST.PRECISE_BN.ENABLED and state.batch_stats:
+                from gdrnet_tpu.engine.precise_bn import update_bn_stats
+                from gdrnet_tpu.engine.steps import _model_kwargs
+
+                def _batches():
+                    while True:
+                        nb = next(loader_iter)
+                        yield {k: jnp.asarray(v) for k, v in nb.items()}
+
+                new_vars = update_bn_stats(
+                    model, state.variables(), _batches(),
+                    num_iters=cfg.TEST.PRECISE_BN.NUM_ITER,
+                    model_kwargs_fn=_model_kwargs)
+                state = state.replace(batch_stats=new_vars["batch_stats"])
             eval_fn(cfg, state, models)
 
     ckpt.save(state, total_iters)

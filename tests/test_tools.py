@@ -69,3 +69,22 @@ def test_gen_xyz_tool(tmp_path):
     # coords inside the cube bounds
     nz = info["xyz_crop"][np.any(info["xyz_crop"] != 0, axis=-1)]
     assert np.abs(nz).max() <= 0.05
+
+
+def test_gen_det_fuse(tmp_path):
+    meta = build_fixture_dataset(str(tmp_path / "ds"), n_images=2, seed=9)
+    from gdrnet_tpu.data.bop import load_bop_scene_dicts
+    from gdrnet_tpu.data.augment import BackgroundReplacer
+    import sys, os.path as osp
+    sys.path.insert(0, osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), "tools"))
+    from gen_det_fuse import fuse_images
+
+    records = load_bop_scene_dicts(meta, "test", with_xyz=False)
+    coco = fuse_images(records, str(tmp_path / "out"), num_images=3,
+                       bg_replacer=BackgroundReplacer(""), wh=(320, 240), seed=1)
+    assert len(coco["images"]) == 3
+    assert len(coco["annotations"]) >= 3
+    a = coco["annotations"][0]
+    assert a["bbox"][2] > 0 and a["bbox"][3] > 0
+    assert osp.exists(str(tmp_path / "out" / "images" / "000000.jpg"))
+    assert osp.exists(str(tmp_path / "out" / "annotations.json"))
