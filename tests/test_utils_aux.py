@@ -55,3 +55,22 @@ def test_step_timer():
 def test_trace_noop():
     with trace(None):
         pass
+
+
+def test_visualize_records(tmp_path):
+    from fixture_bop import build_fixture_dataset
+    from gdrnet_tpu.data.bop import load_bop_scene_dicts
+    from gdrnet_tpu.data.model_store import ObjectModels
+    from gdrnet_tpu.data.visualize import vis_records
+    from gdrnet_tpu.config import base_config
+
+    meta = build_fixture_dataset(str(tmp_path / "ds"), n_images=1, seed=13)
+    records = load_bop_scene_dicts(meta, "test")
+    models = ObjectModels(meta, num_pm_points=64)
+    saved = vis_records(meta, records, models, n=1, save_dir=str(tmp_path / "v"))
+    assert len(saved) == 1
+    cfg = base_config()
+    cfg.MODEL.CDPN.ROT_HEAD.NUM_CLASSES = 2
+    saved = vis_records(meta, records, models, n=1, save_dir=str(tmp_path / "v2"),
+                        mapped=True, cfg=cfg)
+    assert len(saved) == 1
