@@ -2,13 +2,13 @@
 # configs/gdrn/lmoSO/a6_cPnP_AugAAETrunc_BG0.5_lmo_real_pbr0.1_80e/ (one config per object).
 _base_ = ["../lmo/a6_cPnP_AugAAETrunc_BG0.5_lmo_real_pbr0.1_40e.py"]
 
-OBJ_NAME = "ape"
-OUTPUT_DIR = "output/gdrn/lmoSO/a6_cPnP_AugAAETrunc_BG0.5_lmo_real_pbr0.1_80e_ape"
+OBJ_NAME = "duck"
+OUTPUT_DIR = "output/gdrn/lmoSO/a6_cPnP_AugAAETrunc_BG0.5_lmo_real_pbr0.1_80e_duck"
 
 SOLVER = dict(TOTAL_EPOCHS=80)
 
 DATASETS = dict(
-    TRAIN=("lm_real_ape_train",),
+    TRAIN=("lm_real_duck_train",),
     TRAIN2=("lmo_pbr_train",),
     TRAIN2_RATIO=0.1,
     TEST=("lmo_test",),

@@ -74,3 +74,30 @@ def test_visualize_records(tmp_path):
     saved = vis_records(meta, records, models, n=1, save_dir=str(tmp_path / "v2"),
                         mapped=True, cfg=cfg)
     assert len(saved) == 1
+
+
+def test_io_depth_roundtrip(tmp_path, rng):
+    from gdrnet_tpu.data.io import save_depth, load_depth, save_json, load_json
+
+    d = (rng.rand(20, 30) * 2).astype(np.float32)
+    p = str(tmp_path / "d.png")
+    save_depth(p, d, depth_scale=0.1)
+    d2 = load_depth(p, depth_scale=0.1)
+    np.testing.assert_allclose(d2, d, atol=1e-4)
+    jp = str(tmp_path / "x.json")
+    save_json(jp, {"a": np.float32(1.5), "b": np.arange(3)})
+    assert load_json(jp) == {"a": 1.5, "b": [0, 1, 2]}
+
+
+def test_view_sampler():
+    from gdrnet_tpu.ops.view_sampler import sample_views, icosphere_views
+
+    views = sample_views(40, radius=0.5)
+    assert len(views) >= 40
+    for v in views[:5]:
+        R, t = v["R"], v["t"]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+        # camera at distance `radius` from origin: |R^T t| == radius
+        np.testing.assert_allclose(np.linalg.norm(R.T @ t), 0.5, atol=1e-5)
+    pts = icosphere_views(100)
+    np.testing.assert_allclose(np.linalg.norm(pts, axis=1), 1.0, atol=1e-5)
