@@ -76,6 +76,7 @@ class GDRN(nn.Module):
 
     backbone_depth: int = 34
     backbone_freeze: bool = False
+    backbone_remat: bool = False
     rot_concat: bool = False
     # head dims
     xyz_loss_type: str = "L1"      # L1 | CE_coor
@@ -127,7 +128,8 @@ class GDRN(nn.Module):
     def setup(self):
         self.backbone = ResNetBackbone(
             depth=self.backbone_depth, freeze=self.backbone_freeze,
-            rot_concat=self.rot_concat, dtype=self.dtype, name="backbone")
+            rot_concat=self.rot_concat, remat=self.backbone_remat,
+            dtype=self.dtype, name="backbone")
         self.rot_head = RotWithRegionHead(
             rot_output_dim=self.rot_output_dim,
             mask_output_dim=self.mask_output_dim,
@@ -288,6 +290,7 @@ def build_model(cfg) -> GDRN:
     return GDRN(
         backbone_depth=bb.NUM_LAYERS,
         backbone_freeze=bb.FREEZE,
+        backbone_remat=cfg.get_path("PARALLEL.REMAT", False) if hasattr(cfg, "get_path") else False,
         rot_concat=rh.ROT_CONCAT,
         xyz_loss_type=rh.XYZ_LOSS_TYPE,
         xyz_bin=rh.XYZ_BIN,

@@ -39,7 +39,7 @@ class BasicBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, train: bool = False):
         residual = x
         y = nn.Conv(self.features, (3, 3), (self.stride, self.stride), padding=[(1, 1), (1, 1)],
                     use_bias=False, dtype=self.dtype)(x)
@@ -61,7 +61,7 @@ class Bottleneck(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, train: bool = False):
         residual = x
         y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype)(y)
@@ -86,12 +86,16 @@ class ResNetBackbone(nn.Module):
     depth: int = 34
     freeze: bool = False
     rot_concat: bool = False
+    remat: bool = False  # rematerialize residual blocks (trade FLOPs for HBM)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False):
         block_name, stages, widths = RESNET_SPEC[self.depth]
         block = BasicBlock if block_name == "basic" else Bottleneck
+        if self.remat:
+            # train flag is static (arg 2 after self, x)
+            block = nn.remat(block, static_argnums=(2,))
         train = train and not self.freeze
 
         x = nn.Conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
@@ -105,7 +109,7 @@ class ResNetBackbone(nn.Module):
         for si, (n_blocks, width) in enumerate(zip(stages, widths)):
             for bi in range(n_blocks):
                 stride = 2 if (si > 0 and bi == 0) else 1
-                x = block(width, stride, dtype=self.dtype, name=f"layer{si + 1}_{bi}")(x, train=train)
+                x = block(width, stride, dtype=self.dtype, name=f"layer{si + 1}_{bi}")(x, train)
             feats.append(x)
 
         x_f64, x_f32, x_f16, x_high = feats

@@ -227,3 +227,34 @@ def test_gdrn_point_pnp_variants(rng, head):
     out = model.apply(variables, batch["roi_img"], **kwargs)
     rtr = np.einsum("bij,bkj->bik", out["rot"], out["rot"])
     np.testing.assert_allclose(rtr, np.tile(np.eye(3), (2, 1, 1)), atol=1e-4)
+
+
+def test_gdrn_remat_grads(rng):
+    """Remat backbone: same loss/grads as non-remat (numerics check)."""
+    cfg = base_config()
+    cfg.MODEL.CDPN.BACKBONE.NUM_LAYERS = 18
+    batch = _roi_batch(rng)
+    outs = {}
+    for remat in (False, True):
+        cfg.PARALLEL.REMAT = remat
+        model = build_model(cfg)
+        kwargs = dict(
+            roi_classes=batch["roi_classes"], roi_coord_2d=batch["roi_coord_2d"],
+            roi_cams=batch["roi_cams"], roi_centers=batch["roi_centers"],
+            roi_whs=batch["roi_whs"], roi_extents=batch["roi_extents"],
+            resize_ratios=batch["resize_ratios"])
+        variables = model.init({"params": jax.random.PRNGKey(0)},
+                               batch["roi_img"], **kwargs)
+
+        def loss_fn(params):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                batch["roi_img"], **kwargs, train=True, mutable=["batch_stats"])
+            return jnp.sum(out["trans"] ** 2) + jnp.sum(out["mask"] ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        outs[remat] = (float(loss), grads)
+    assert outs[False][0] == pytest.approx(outs[True][0], rel=1e-5)
+    g0 = jax.tree.leaves(outs[False][1])[0]
+    g1 = jax.tree.leaves(outs[True][1])[0]
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-4, atol=1e-6)
