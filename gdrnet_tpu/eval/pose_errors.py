@@ -37,29 +37,42 @@ def add_batch(R_est, t_est, R_gt, t_gt, pts):
 
 
 @partial(jax.jit, static_argnames=("chunk",))
-def adi_batch(R_est, t_est, R_gt, t_gt, pts, chunk: int = 512):
+def adi_batch(R_est, t_est, R_gt, t_gt, pts, chunk: int = 1024):
     """ADD-S / ADI (pose_error.py:315-337): mean over gt points of the
-    nearest-neighbor distance to the estimated point set. The reference's
-    cKDTree becomes a chunked [B, n_gt, n_est] min-reduce — O(N^2) FLOPs but
-    pure VPU work that XLA tiles; chunking bounds the live buffer."""
+    nearest-neighbor distance to the estimated point set.
+
+    The reference's cKDTree becomes a batched min-reduce with the MXU-friendly
+    expansion |a-b|^2 = |a|^2 + |b|^2 - 2 a.b — the cross term is one
+    [n_gt, 3] x [3, n_est] matmul per sample instead of materializing
+    [B, n_gt, n_est, 3] differences; chunking over gt points bounds the live
+    [B, chunk, n_est] buffer. A Pallas kernel variant lives in
+    gdrnet_tpu.ops.pallas_kernels.nn_min_dist."""
     pe = _tp(pts, R_est, t_est)  # [B, N, 3]
     pg = _tp(pts, R_gt, t_gt)
     n = pg.shape[1]
+    if jax.devices()[0].platform in ("tpu", "axon") and n * 128 < 2 ** 21:
+        from gdrnet_tpu.ops.pallas_kernels import nn_min_dist_pallas
+
+        return nn_min_dist_pallas(pg, pe)
+    pe_n2 = jnp.sum(jnp.square(pe), axis=-1)  # [B, N]
+
+    def min_dists(seg):
+        # seg [B, c, 3] -> [B, c] min distance to pe
+        cross = jnp.einsum("bcd,bnd->bcn", seg, pe, precision="highest")
+        d2 = (jnp.sum(jnp.square(seg), -1)[:, :, None] + pe_n2[:, None, :]
+              - 2.0 * cross)
+        return jnp.sqrt(jnp.maximum(jnp.min(d2, axis=-1), 0.0))
 
     def body(i, acc):
         seg = jax.lax.dynamic_slice_in_dim(pg, i * chunk, chunk, axis=1)
-        d2 = jnp.sum(jnp.square(seg[:, :, None, :] - pe[:, None, :, :]), axis=-1)
-        return acc + jnp.sum(jnp.sqrt(jnp.min(d2, axis=-1)), axis=-1)
+        return acc + jnp.sum(min_dists(seg), axis=-1)
 
     n_chunks = n // chunk
     acc = jnp.zeros(pe.shape[0], pe.dtype)
     if n_chunks > 0:
         acc = jax.lax.fori_loop(0, n_chunks, body, acc)
-    rem = n - n_chunks * chunk
-    if rem > 0:
-        seg = pg[:, n_chunks * chunk:]
-        d2 = jnp.sum(jnp.square(seg[:, :, None, :] - pe[:, None, :, :]), axis=-1)
-        acc = acc + jnp.sum(jnp.sqrt(jnp.min(d2, axis=-1)), axis=-1)
+    if n - n_chunks * chunk > 0:
+        acc = acc + jnp.sum(min_dists(pg[:, n_chunks * chunk:]), axis=-1)
     return acc / n
 
 
