@@ -100,5 +100,14 @@ def resolve(name: str, data_root: str = "datasets/BOP_DATASETS",
         else:
             split, img_type = "train_pbr", "syn_pbr"
         recs = load_bop_scene_dicts(meta, split, visib_thr=visib_thr, img_type=img_type)
+        if split == "test" and "bop" not in parts:
+            # YCB-V keyframe test protocol (reference ycbv_d2.py keyframe
+            # split: image_sets/keyframe.txt lines "scene/im_id")
+            kf = _osp.join(meta.data_root, "image_sets", "keyframe.txt")
+            if _osp.exists(kf):
+                with open(kf) as f:
+                    keep = {tuple(int(x) for x in ln.strip().split("/"))
+                            for ln in f if ln.strip()}
+                recs = [r for r in recs if (r["scene_id"], r["im_id"]) in keep]
         return meta, recs
     raise KeyError(f"Cannot resolve dataset name: {name}")
