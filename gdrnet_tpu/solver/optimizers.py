@@ -411,6 +411,13 @@ def build_optimizer(cfg, lr_schedule: Optional[Callable] = None,
     if opt_type not in _BUILDERS:
         raise ValueError(f"Unknown optimizer type: {oc.get('type')}")
 
+    grad_clip = cfg.SOLVER.get("GRAD_CLIP", 0.0)
+
+    def _with_clip(tx: optax.GradientTransformation) -> optax.GradientTransformation:
+        if grad_clip and grad_clip > 0:
+            return optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+        return tx
+
     net_cfg = cfg.MODEL.CDPN
     mults = {
         "backbone": 1.0,
@@ -420,7 +427,7 @@ def build_optimizer(cfg, lr_schedule: Optional[Callable] = None,
     }
     uniform = all(abs(m - 1.0) < 1e-12 for m in mults.values())
     if uniform or params is None:
-        return _BUILDERS[opt_type](lr, oc)
+        return _with_clip(_BUILDERS[opt_type](lr, oc))
 
     def scaled(mult):
         if callable(lr):
@@ -436,4 +443,4 @@ def build_optimizer(cfg, lr_schedule: Optional[Callable] = None,
             return top if top in mults else "_default"
         return jax.tree_util.tree_map_with_path(lambda p, _: label_path(p), tree)
 
-    return optax.multi_transform(transforms, label_fn)
+    return _with_clip(optax.multi_transform(transforms, label_fn))

@@ -147,3 +147,23 @@ def test_optimizer_zoo_converges(name):
     # and plateau rather than converge tightly on a tiny quadratic
     tol = 0.5 if name.lower() in ("ralamb", "over9000") else 0.1
     assert _converges(opt, steps=600) < tol, name
+
+
+def test_grad_clip_wired():
+    cfg = base_config()
+    cfg.SOLVER.OPTIMIZER_CFG = {"type": "Adam", "lr": 1.0}
+    cfg.SOLVER.GRAD_CLIP = 1e-6  # clip everything to ~0
+    opt = build_optimizer(cfg)
+    params = {"w": jnp.zeros(3)}
+    state = opt.init(params)
+    updates, _ = opt.update({"w": jnp.full(3, 100.0)}, state, params)
+    # adam normalizes, but the clipped grad going in is ~1e-6 -> first-step
+    # update magnitude is still ~lr; instead verify the clip transform exists
+    # by comparing against unclipped behavior on the raw update chain
+    cfg2 = base_config()
+    cfg2.SOLVER.OPTIMIZER_CFG = {"type": "SGD", "lr": 1.0, "momentum": 0.0}
+    cfg2.SOLVER.GRAD_CLIP = 0.5
+    opt2 = build_optimizer(cfg2)
+    s2 = opt2.init(params)
+    u2, _ = opt2.update({"w": jnp.full(3, 100.0)}, s2, params)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(u2["w"])), 0.5, rtol=1e-5)
