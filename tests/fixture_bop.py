@@ -25,14 +25,30 @@ W, H = 320, 240
 K = np.array([[280.0, 0, 160.0], [0, 280.0, 120.0], [0, 0, 1.0]], np.float32)
 
 
-def _cube(half_xyz):
+def _cube(half_xyz, symmetric_z: bool = False):
+    """Box mesh with interior landmark vertices: a plain box's corner set is
+    invariant under its rotational symmetry group, which makes ADD blind to
+    symmetry-equivalent poses — landmarks break the symmetries without
+    changing the extents. With symmetric_z=True a mirrored landmark pair
+    keeps the mesh truly z-180 symmetric (matching the fixture's declared
+    symmetries_discrete for object 2)."""
     hx, hy, hz = half_xyz
     v = np.array([[sx * hx, sy * hy, sz * hz]
                   for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)], np.float32)
+    apex = np.array([[0.55 * hx, 0.2 * hy, -0.35 * hz]], np.float32)
+    v = np.concatenate([v, apex], axis=0)  # vertex 8
     f = np.array([
         [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
         [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
-        [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]], np.int32)
+        [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3],
+        # small landmark pyramid on the +x face corners
+        [4, 5, 8], [5, 7, 8], [7, 4, 8]], np.int32)
+    if symmetric_z:
+        apex2 = apex * np.array([[-1.0, -1.0, 1.0]], np.float32)  # Rz(180) image
+        v = np.concatenate([v, apex2], axis=0)  # vertex 9
+        # Rz(180) maps corner idx (sx,sy,sz) -> (-sx,-sy,sz): 4,5 -> 2,3 etc.
+        f = np.concatenate([f, np.array([[2, 3, 9], [3, 1, 9], [1, 2, 9]],
+                                        np.int32)], axis=0)
     return v, f
 
 
@@ -49,7 +65,8 @@ def build_fixture_dataset(root: str, n_images: int = 6, seed: int = 0,
     model_dir = osp.join(root, "models")
     os.makedirs(model_dir, exist_ok=True)
 
-    objs = {1: _cube((0.04, 0.04, 0.04)), 2: _cube((0.06, 0.03, 0.02))}
+    objs = {1: _cube((0.04, 0.04, 0.04)),
+            2: _cube((0.06, 0.03, 0.02), symmetric_z=True)}
     models_info = {}
     for oid, (v, f) in objs.items():
         save_ply(osp.join(model_dir, f"obj_{oid:06d}.ply"), v * 1000.0, f)  # mm
