@@ -81,6 +81,19 @@ def roi_coord_2d(im_w: int, im_h: int, center, scale, out_res: int) -> np.ndarra
     return np.stack([sx / max(im_w - 1, 1), sy / max(im_h - 1, 1)], axis=-1)
 
 
+def smooth_xyz(xyz: np.ndarray) -> np.ndarray:
+    """Median-filter the XYZ map's edge pixels to suppress render noise
+    (reference smooth_xyz, data_loader.py:635-641: replace Laplacian-edge
+    pixels with the 3x3 median)."""
+    xyz = np.asarray(xyz, np.float32)
+    blurred = cv2.medianBlur(xyz, 3)
+    gray = np.any(xyz != 0, axis=-1).astype(np.uint8)
+    edges = cv2.Laplacian(gray.astype(np.float32), cv2.CV_32F)
+    out = xyz.copy()
+    out[edges != 0] = blurred[edges != 0]
+    return out
+
+
 def xyz_to_region_np(xyz: np.ndarray, fps_points: np.ndarray) -> np.ndarray:
     """Nearest-FPS region labels, 0 = bg (data_utils.xyz_to_region:213)."""
     mask = np.any(xyz != 0, axis=-1)
@@ -154,6 +167,8 @@ class GDRNTrainMapper:
         im_h, im_w = img.shape[:2]
 
         xyz = self._load_xyz(rec, im_h, im_w)
+        if self.cfg.INPUT.SMOOTH_XYZ:
+            xyz = smooth_xyz(xyz)
         mask_obj = np.any(xyz != 0, axis=-1).astype(np.float32)
 
         mask_visib = None

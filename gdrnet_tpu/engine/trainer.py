@@ -81,12 +81,15 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
     logger.info(f"{len(records)} records, {iters_per_epoch} iters/epoch, "
                 f"{total_iters} total iters")
 
+    # SEED < 0 means fully randomize (reference common_base.py SEED=-1)
+    seed = cfg.SEED if cfg.SEED >= 0 else int.from_bytes(
+        __import__("os").urandom(4), "little")
     loader = TrainLoader(
         records, mapper, ims_per_batch,
         sampler_name=cfg.DATALOADER.SAMPLER_TRAIN,
         repeat_thresh=cfg.DATALOADER.REPEAT_THRESHOLD,
         num_workers=cfg.DATALOADER.NUM_WORKERS,
-        seed=max(cfg.SEED, 0),
+        seed=seed,
         records2=records2, ratio2=cfg.DATASETS.TRAIN2_RATIO)
 
     # mesh over the largest device count that divides the global batch
@@ -109,7 +112,7 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
 
     batch_dev = shard_batch({k: jnp.asarray(v) for k, v in first_batch.items()
                              if k not in ("sym_info",)}, mesh)
-    rng = jax.random.PRNGKey(max(cfg.SEED, 0))
+    rng = jax.random.PRNGKey(seed)
     state = create_train_state(model, optimizer, batch_dev, rng)
     state = jax.device_put(state, replicated_sharding(mesh))
     train_step = make_train_step(cfg, model, optimizer, mesh=mesh)

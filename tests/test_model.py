@@ -258,3 +258,18 @@ def test_gdrn_remat_grads(rng):
     g0 = jax.tree.leaves(outs[False][1])[0]
     g1 = jax.tree.leaves(outs[True][1])[0]
     np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-4, atol=1e-6)
+
+
+def test_gdrn_r_only_trans_head(rng):
+    """PNP_NET.R_ONLY: translation comes from the legacy TransHeadNet
+    (reference GDRN.py:182-183)."""
+    cfg = base_config()
+    cfg.MODEL.CDPN.BACKBONE.NUM_LAYERS = 18
+    cfg.MODEL.CDPN.PNP_NET.R_ONLY = True
+    cfg.MODEL.CDPN.TRANS_HEAD.ENABLED = True
+    cfg.MODEL.CDPN.TRANS_HEAD.FREEZE = False
+    batch = _roi_batch(rng)
+    _, variables, out = _init_and_forward(cfg, batch)
+    assert "trans_head" in variables["params"]
+    assert out["trans"].shape == (2, 3)
+    assert np.all(np.isfinite(np.asarray(out["trans"])))
