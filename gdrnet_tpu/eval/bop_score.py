@@ -30,8 +30,15 @@ BOP19_VSD_TAUS = np.arange(0.05, 0.51, 0.05)
 
 
 def match_estimates_to_gt(results: list[dict], gts: list[dict],
-                          n_top: int = 1) -> list[tuple[dict, dict]]:
-    """results: BOP rows (R, t in mm); gts: records with R, t (m), K."""
+                          n_top: int = 1, precision: bool = False
+                          ) -> list[tuple[dict, dict]]:
+    """results: BOP rows (R, t in mm); gts: records with R, t (m), K.
+
+    recall mode (default): one pair per GT (missing estimate -> (None, gt)).
+    precision mode (reference _eval_predictions_precision,
+    gdrn_custom_evaluator.py:672): one pair per ESTIMATE — every prediction
+    is judged against its image's GT of the same object; extra predictions
+    without GT are dropped (they have no pose to compare against)."""
     gt_by_key = defaultdict(list)
     for g in gts:
         gt_by_key[(g["scene_id"], g["im_id"], g["obj_id"])].append(g)
@@ -39,6 +46,14 @@ def match_estimates_to_gt(results: list[dict], gts: list[dict],
     for r in results:
         est_by_key[(r["scene_id"], r["im_id"], r["obj_id"])].append(r)
     pairs = []
+    if precision:
+        for key, ests in est_by_key.items():
+            gt_list = gt_by_key.get(key, [])
+            if not gt_list:
+                continue
+            for est in sorted(ests, key=lambda e: -e.get("score", 1.0)):
+                pairs.append((est, gt_list[0]))
+        return pairs
     for key, gt_list in gt_by_key.items():
         ests = sorted(est_by_key.get(key, []), key=lambda e: -e.get("score", 1.0))
         take = len(gt_list) if n_top <= 0 else min(n_top, len(gt_list))
@@ -69,12 +84,13 @@ def _stack_pairs(pairs, id2obj):
 def score_results(results: list[dict], gts: list[dict], models,
                   error_types: str = "ad,rete,re,te,proj",
                   sym_objs: list[str] | None = None, n_top: int = 1,
-                  image_width: int = 640) -> dict:
+                  image_width: int = 640, precision: bool = False) -> dict:
     """models: ObjectModels (points/diameters/sym_rots). Returns
-    {error_type: {obj: recall(s)} + {"avg": ...}}."""
+    {error_type: {obj: recall(s)} + {"avg": ...}}. precision=True reproduces
+    the reference's VAL.EVAL_PRECISION mode (per-estimate denominators)."""
     id2obj = models.meta.id2obj
     sym_objs = sym_objs if sym_objs is not None else models.meta.sym_objects
-    pairs = match_estimates_to_gt(results, gts, n_top)
+    pairs = match_estimates_to_gt(results, gts, n_top, precision=precision)
     by_obj = _stack_pairs(pairs, id2obj)
     types = [t.strip() for t in error_types.split(",") if t.strip()]
     out: dict = {}

@@ -108,3 +108,16 @@ def test_depth_to_dist_center_pixel():
     depth[12, 16] = 2.0
     dist = np.asarray(depth_to_dist(depth, K))
     assert dist[12, 16] == pytest.approx(2.0, abs=1e-5)  # principal ray
+
+
+def test_precision_mode(scored_setup):
+    meta, records, models = scored_setup
+    # duplicate estimates: one perfect + one garbage per GT
+    good = _results_from_gts(records)
+    bad = [dict(r, R=np.eye(3), t=r["t"] + 500.0, score=0.5) for r in good]
+    scores_r = score_results(good + bad, records, models, "ad")
+    scores_p = score_results(good + bad, records, models, "ad", precision=True)
+    # recall with n_top=1 keeps only the best-scoring estimate per gt -> 1.0
+    assert scores_r["ad"]["avg"] == pytest.approx(1.0)
+    # precision judges every estimate -> half are garbage
+    assert 0.3 < scores_p["ad"]["avg"] < 0.7
