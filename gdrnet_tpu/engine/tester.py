@@ -85,8 +85,8 @@ def do_test(cfg, model, variables, models, records: list[dict],
         dev_batch = {k: v for k, v in batch.items()
                      if k not in ("valid", "scores", "obj_ids", "im_hw")}
         out = predict(variables, dev_batch)
-        rot = np.asarray(out["rot"])
-        trans = np.asarray(out["trans"])
+        rot = np.array(out["rot"])    # writable copies (PnP may refine rows)
+        trans = np.array(out["trans"])
         if use_pnp:
             xyz_dec = np.asarray(get_out_coor(
                 out["coor_x"], out["coor_y"], out["coor_z"],

@@ -1,0 +1,61 @@
+"""Tester USE_PNP wiring: do_test with ransac / net-init PnP paths must run
+the full decode -> correspondences -> solvePnP flow on the fixture dataset
+and produce finite poses + a valid CSV (quality needs a trained net; the
+numeric PnP math itself is covered in test_pnp.py)."""
+
+import os.path as osp
+
+import jax
+import numpy as np
+import pytest
+
+from gdrnet_tpu.config import base_config
+from gdrnet_tpu.data import ObjectModels, synthetic_roi_batch
+from gdrnet_tpu.data.bop import load_bop_scene_dicts
+from gdrnet_tpu.engine.tester import do_test
+from gdrnet_tpu.models import build_model
+
+from fixture_bop import build_fixture_dataset
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pnp_tester")
+    meta = build_fixture_dataset(str(root), n_images=2, seed=31)
+    records = load_bop_scene_dicts(meta, "test")
+    models = ObjectModels(meta, num_pm_points=64, num_fps=4)
+    return meta, records, models
+
+
+@pytest.mark.parametrize("pnp_type", ["ransac_pnp", "net_iter_pnp", "net_ransac_pnp"])
+def test_do_test_use_pnp(env, tmp_path, pnp_type):
+    meta, records, models = env
+    cfg = base_config()
+    cfg.MODEL.CDPN.BACKBONE.NUM_LAYERS = 18
+    cfg.MODEL.CDPN.BACKBONE.INPUT_RES = 64
+    cfg.MODEL.CDPN.BACKBONE.OUTPUT_RES = 16
+    cfg.MODEL.CDPN.ROT_HEAD.NUM_CLASSES = 2
+    cfg.MODEL.CDPN.ROT_HEAD.NUM_REGIONS = 4
+    cfg.TEST.USE_PNP = True
+    cfg.TEST.PNP_TYPE = pnp_type
+    cfg.TEST.ROI_BATCH_SIZE = 4
+    model = build_model(cfg)
+    sample = {k: __import__("jax.numpy", fromlist=["asarray"]).asarray(v)
+              for k, v in synthetic_roi_batch(
+                  batch_size=2, input_res=64, out_res=16).items()}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, sample["roi_img"],
+        roi_classes=sample["roi_classes"], roi_coord_2d=sample["roi_coord_2d"],
+        roi_cams=sample["roi_cams"], roi_centers=sample["roi_centers"],
+        roi_whs=sample["roi_whs"], roi_extents=sample["roi_extents"],
+        resize_ratios=sample["resize_ratios"], train=False)
+
+    results = do_test(cfg, model, variables, models, records,
+                      output_dir=str(tmp_path))
+    assert "Avg" in results
+    assert osp.exists(results["_csv_path"])
+    from gdrnet_tpu.eval import load_bop_results
+    rows = load_bop_results(results["_csv_path"])
+    assert len(rows) == 4
+    for r in rows:
+        assert np.all(np.isfinite(r["R"])) and np.all(np.isfinite(r["t"]))
