@@ -280,19 +280,29 @@ class GDRNTestMapper:
         self.coord2d = get_2d_coord_np(self.out_res, self.out_res)
         self.roi_batch_size = roi_batch_size
 
-    def __call__(self, rgb_path: str, K: np.ndarray, rois: list[dict]) -> dict:
-        """rois: [{obj_id or label, bbox xyxy (or xywh w/ 'bbox_mode'),
-        score}]. Returns padded batch + 'valid' mask + bookkeeping."""
-        img = cv2.imread(rgb_path, cv2.IMREAD_COLOR)
-        assert img is not None, rgb_path
-        n = len(rois)
+    def map_flat(self, entries: list[tuple]) -> dict:
+        """Pack ROIs from MULTIPLE images into one bucket (TPU-first: the
+        reference runs one image per batch, data_loader.py:389 — on TPU that
+        wastes most of the static bucket). entries: [(rgb_path, K [3,3],
+        det dict)] with len <= roi_batch_size; images are read once each."""
         bs = self.roi_batch_size
-        assert n <= bs, f"too many ROIs ({n}) for bucket {bs}"
-        out = {
+        assert len(entries) <= bs
+        out = self._empty_batch(bs)
+        img_cache: dict = {}
+        for i, (rgb_path, K, det) in enumerate(entries):
+            if rgb_path not in img_cache:
+                img_cache[rgb_path] = cv2.imread(rgb_path, cv2.IMREAD_COLOR)
+            img = img_cache[rgb_path]
+            assert img is not None, rgb_path
+            self._fill_roi(out, i, img, np.asarray(K, np.float32), det)
+        return out
+
+    def _empty_batch(self, bs: int) -> dict:
+        return {
             "roi_img": np.zeros((bs, self.input_res, self.input_res, 3), np.float32),
             "roi_classes": np.zeros(bs, np.int32),
             "roi_coord_2d": np.zeros((bs, self.out_res, self.out_res, 2), np.float32),
-            "roi_cams": np.tile(K.astype(np.float32)[None], (bs, 1, 1)),
+            "roi_cams": np.tile(np.eye(3, dtype=np.float32)[None], (bs, 1, 1)),
             "roi_centers": np.zeros((bs, 2), np.float32),
             "roi_whs": np.ones((bs, 2), np.float32),
             "roi_extents": np.ones((bs, 3), np.float32),
@@ -300,34 +310,43 @@ class GDRNTestMapper:
             "valid": np.zeros(bs, bool),
             "scores": np.zeros(bs, np.float32),
             "obj_ids": np.zeros(bs, np.int32),
-            "im_hw": np.asarray(img.shape[:2], np.int32),
+            "im_hws": np.ones((bs, 2), np.int32),
         }
-        for i, det in enumerate(rois):
-            if "label" in det:
-                name = det["label"]
-            else:
-                name = self.models.meta.id2obj[int(det["obj_id"])]
-            cls = self.models.label_of(name)
-            bbox = det.get("bbox_est", det.get("bbox"))
-            x1, y1, x2, y2 = [float(v) for v in bbox]
-            if det.get("bbox_mode", "xyxy") == "xywh":
-                x2, y2 = x1 + x2, y1 + y2
-            center = np.asarray([(x1 + x2) / 2, (y1 + y2) / 2], np.float32)
-            bw, bh = max(x2 - x1, 1), max(y2 - y1, 1)
-            scale = min(max(bh, bw) * self.pad_scale, max(img.shape[:2])) * 1.0
-            roi = crop_resize(img, center, scale, self.input_res, cv2.INTER_LINEAR)
-            out["roi_img"][i] = (roi.astype(np.float32) - self.pixel_mean) / self.pixel_std
-            out["roi_coord_2d"][i] = roi_coord_2d(
-                img.shape[1], img.shape[0], center, scale, self.out_res)
-            out["roi_classes"][i] = cls
-            out["roi_centers"][i] = center
-            out["roi_whs"][i] = (bw, bh)
-            out["roi_extents"][i] = self.models.extents[name]
-            out["resize_ratios"][i] = self.out_res / scale
-            out["valid"][i] = True
-            out["scores"][i] = float(det.get("score", 1.0))
-            out["obj_ids"][i] = self.models.meta.obj2id[name]
-        return out
+
+    def _fill_roi(self, out: dict, i: int, img: np.ndarray, K: np.ndarray,
+                  det: dict) -> None:
+        name = det.get("label") or self.models.meta.id2obj[int(det["obj_id"])]
+        cls = self.models.label_of(name)
+        bbox = det.get("bbox_est", det.get("bbox"))
+        x1, y1, x2, y2 = [float(v) for v in bbox]
+        if det.get("bbox_mode", "xyxy") == "xywh":
+            x2, y2 = x1 + x2, y1 + y2
+        center = np.asarray([(x1 + x2) / 2, (y1 + y2) / 2], np.float32)
+        bw, bh = max(x2 - x1, 1), max(y2 - y1, 1)
+        scale = min(max(bh, bw) * self.pad_scale, max(img.shape[:2])) * 1.0
+        roi = crop_resize(img, center, scale, self.input_res, cv2.INTER_LINEAR)
+        out["roi_img"][i] = (roi.astype(np.float32) - self.pixel_mean) / self.pixel_std
+        out["roi_coord_2d"][i] = roi_coord_2d(
+            img.shape[1], img.shape[0], center, scale, self.out_res)
+        out["roi_cams"][i] = K
+        out["roi_classes"][i] = cls
+        out["roi_centers"][i] = center
+        out["roi_whs"][i] = (bw, bh)
+        out["roi_extents"][i] = self.models.extents[name]
+        out["resize_ratios"][i] = self.out_res / scale
+        out["valid"][i] = True
+        out["scores"][i] = float(det.get("score", 1.0))
+        out["obj_ids"][i] = self.models.meta.obj2id[name]
+        out["im_hws"][i] = img.shape[:2]
+
+    def __call__(self, rgb_path: str, K: np.ndarray, rois: list[dict]) -> dict:
+        """Single-image form (reference per-image batching): rois =
+        [{obj_id or label, bbox xyxy (or xywh w/ 'bbox_mode'), score}]."""
+        assert len(rois) <= self.roi_batch_size, \
+            f"too many ROIs ({len(rois)}) for bucket {self.roi_batch_size}"
+        batch = self.map_flat([(rgb_path, K, det) for det in rois])
+        batch["im_hw"] = batch["im_hws"][0]  # back-compat single-image field
+        return batch
 
 
 def collate(samples: list[dict]) -> dict:

@@ -17,7 +17,7 @@ from collections import defaultdict
 import jax
 import numpy as np
 
-from gdrnet_tpu.data import GDRNTestMapper, InferenceLoader, load_detections
+from gdrnet_tpu.data import GDRNTestMapper, load_detections
 from gdrnet_tpu.engine.decode import get_out_coor, get_out_mask
 from gdrnet_tpu.engine.steps import make_predict_step
 from gdrnet_tpu.eval import CustomEvaluator, save_bop_results
@@ -70,7 +70,6 @@ def do_test(cfg, model, variables, models, records: list[dict],
     pnp_type = cfg.TEST.PNP_TYPE  # ransac_pnp | net_iter_pnp | net_ransac_pnp
     bucket = cfg.TEST.ROI_BATCH_SIZE
     mapper = GDRNTestMapper(cfg, models, roi_batch_size=bucket)
-    loader = InferenceLoader(items, mapper)
     predict = make_predict_step(model, with_maps=use_pnp)
 
     evaluator = CustomEvaluator(
@@ -78,12 +77,27 @@ def do_test(cfg, model, variables, models, records: list[dict],
         sym_objs=[o for o in cfg.DATASETS.SYM_OBJS if o in models.objs],
         sym_rots={k: v for k, v in models.sym_rots.items() if v is not None})
 
+    # TPU-first packing: flatten every (image, detection) into one stream and
+    # fill each static bucket COMPLETELY (the reference batches per image,
+    # data_loader.py:389 — that leaves most of a fixed bucket empty)
+    flat: list[tuple] = []
+    for rgb_path, K, rois, info in items:
+        gts_by_obj = {g["obj_id"]: g for g in info["gts"]}
+        for det in rois:
+            oid = int(det["obj_id"])
+            flat.append((rgb_path, K, det,
+                         {"scene_id": info["scene_id"], "im_id": info["im_id"],
+                          "gt": gts_by_obj.get(oid)}))
+
     bop_results = []
-    total_compute, total_process, n_imgs = 0.0, 0.0, 0
-    for i, (batch, rois, info) in enumerate(iter(loader)):
+    total_compute, total_process, n_buckets = 0.0, 0.0, 0
+    mask_thr = cfg.MODEL.CDPN.ROT_HEAD.MASK_THR_TEST
+    for start in range(0, len(flat), bucket):
+        chunk = flat[start:start + bucket]
+        batch = mapper.map_flat([(p, K, d) for p, K, d, _ in chunk])
         t0 = time.perf_counter()
         dev_batch = {k: v for k, v in batch.items()
-                     if k not in ("valid", "scores", "obj_ids", "im_hw")}
+                     if k not in ("valid", "scores", "obj_ids", "im_hws")}
         out = predict(variables, dev_batch)
         rot = np.array(out["rot"])    # writable copies (PnP may refine rows)
         trans = np.array(out["trans"])
@@ -93,23 +107,19 @@ def do_test(cfg, model, variables, models, records: list[dict],
                 cfg.MODEL.CDPN.ROT_HEAD.XYZ_BIN))
             mask_dec = np.asarray(get_out_mask(
                 out["mask"], cfg.MODEL.CDPN.ROT_HEAD.MASK_LOSS_TYPE))
-        if i >= 1:  # warmup-excluded timing (gdrn_evaluator.py:545-560)
+        if start > 0:  # warmup-excluded timing (gdrn_evaluator.py:545-560)
             total_compute += time.perf_counter() - t0
-            n_imgs += 1
+            n_buckets += 1
 
         t1 = time.perf_counter()
-        valid = batch["valid"]
-        if use_pnp:
-            im_h, im_w = (int(batch["im_hw"][0]), int(batch["im_hw"][1]))
-            mask_thr = cfg.MODEL.CDPN.ROT_HEAD.MASK_THR_TEST
-            for j in range(bucket):
-                if not valid[j]:
-                    continue
-                name = models.meta.id2obj[int(batch["obj_ids"][j])]
-                extent = models.extents[name]
+        for j, (_, _, det, meta_j) in enumerate(chunk):
+            obj_id = int(batch["obj_ids"][j])
+            name = models.meta.id2obj[obj_id]
+            if use_pnp:
+                im_h, im_w = (int(batch["im_hws"][j][0]), int(batch["im_hws"][j][1]))
                 img_pts, mdl_pts = correspondences_from_maps(
                     mask_dec[j], xyz_dec[j], batch["roi_coord_2d"][j],
-                    im_w, im_h, extent, mask_thr=mask_thr)
+                    im_w, im_h, models.extents[name], mask_thr=mask_thr)
                 K = np.asarray(batch["roi_cams"][j])
                 if pnp_type == "ransac_pnp":
                     pose = pnp_ransac(mdl_pts, img_pts, K, method="epnp",
@@ -120,21 +130,15 @@ def do_test(cfg, model, variables, models, records: list[dict],
                     ptype = "ransac" if "ransac" in pnp_type else "iter"
                     rot[j], trans[j] = pnp_refine_from_net(
                         rot[j], trans[j], mdl_pts, img_pts, K, pnp_type=ptype)
-        gts_by_obj = {g["obj_id"]: g for g in info["gts"]}
-        for j in range(bucket):
-            if not valid[j]:
-                continue
-            obj_id = int(batch["obj_ids"][j])
-            name = models.meta.id2obj[obj_id]
             bop_results.append({
-                "scene_id": info["scene_id"], "im_id": info["im_id"],
+                "scene_id": meta_j["scene_id"], "im_id": meta_j["im_id"],
                 "obj_id": obj_id, "score": float(batch["scores"][j]),
                 "R": rot[j], "t": trans[j] * 1000.0,
                 "time": (time.perf_counter() - t0)})
-            gt = gts_by_obj.get(obj_id)
+            gt = meta_j["gt"]
             if gt is not None:
                 evaluator.process(name, rot[j], trans[j], gt["R"], gt["t"], gt["K"])
-        if i >= 1:
+        if start > 0:
             total_process += time.perf_counter() - t1
 
     results = evaluator.evaluate()
@@ -143,9 +147,10 @@ def do_test(cfg, model, variables, models, records: list[dict],
             output_dir, f"{models.meta.name}-test_gdrnet-tpu.csv")
         save_bop_results(csv_path, bop_results)
         results["_csv_path"] = csv_path
-    if n_imgs:
-        results["_time"] = {"compute_s_per_img": total_compute / n_imgs,
-                            "process_s_per_img": total_process / n_imgs}
+    if n_buckets:
+        results["_time"] = {"compute_s_per_bucket": total_compute / n_buckets,
+                            "process_s_per_bucket": total_process / n_buckets,
+                            "rois_per_bucket": bucket}
     results["_summary"] = evaluator.summarize(
         {k: v for k, v in results.items() if not k.startswith("_")})
     return results

@@ -56,7 +56,8 @@ def _tiny_cfg(out_dir):
     cfg.SOLVER.ANNEAL_POINT = 1.0  # stay flat for the whole tiny run
     cfg.SOLVER.CHECKPOINT_PERIOD = 1000  # only the final save
     cfg.SOLVER.CHECKPOINT_BY_EPOCH = False
-    cfg.DATALOADER.NUM_WORKERS = 2
+    cfg.DATALOADER.NUM_WORKERS = 1  # deterministic batch order
+    cfg.INPUT.DZI_TYPE = "none"  # fixed crops -> smooth overfit trajectory
     cfg.DATASETS.TRAIN = ("fixture_train",)
     cfg.DATASETS.TEST = ("fixture_test",)
     cfg.DATASETS.SYM_OBJS = ["brick"]
