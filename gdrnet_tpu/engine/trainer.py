@@ -147,16 +147,21 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
             nb = next(loader_iter)
             batch = shard_batch({k: jnp.asarray(v) for k, v in nb.items()}, mesh)
             data_time = time.perf_counter() - t0
-        total = float(metrics["total_loss"])  # also forces completion
-        step_time = time.perf_counter() - t_step
-        if not np.isfinite(total):  # NaN tripwire (engine.py:271)
-            raise FloatingPointError(f"non-finite loss at iter {it}: {total}")
-
+        # Only sync with the device at print boundaries — a per-step host
+        # fetch would serialize dispatch/compute (the reference pays this for
+        # its per-iter assert, engine.py:271; here the NaN tripwire fires at
+        # PRINT_FREQ granularity and pipelining stays intact between prints).
         ev.iter = it
-        ev.put(total_loss=total, lr=float(schedule(it)),
-               **{k: float(v) for k, v in metrics.items() if k != "total_loss"})
-        ev.put(**{"time/step": step_time, "time/data": data_time})
-        if it % print_every == 0 or it == total_iters - 1:
+        at_boundary = it % print_every == 0 or it == total_iters - 1
+        if at_boundary:
+            total = float(metrics["total_loss"])  # forces completion
+            step_time = time.perf_counter() - t_step
+            if not np.isfinite(total):  # NaN tripwire (engine.py:271)
+                raise FloatingPointError(f"non-finite loss at iter {it}: {total}")
+            ev.put(total_loss=total, lr=float(schedule(it)),
+                   **{k: float(v) for k, v in metrics.items() if k != "total_loss"})
+            ev.put(**{"time/step": step_time, "time/data": data_time})
+        if at_boundary:
             for w in writers:
                 w.write(ev)
             # tensorboard image panels: input / gt / pred xyz + mask
