@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 
 from gdrnet_tpu.ops.warp import affine_params_batch, warp_affine_batch
-from gdrnet_tpu.data.mapper import get_2d_coord_np
 
 
 def dzi_aug_bbox_batch(key, bbox_xyxy, im_h, im_w, dzi_type: str = "uniform",

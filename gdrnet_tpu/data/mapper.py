@@ -21,7 +21,6 @@ import numpy as np
 from gdrnet_tpu.data.model_store import ObjectModels
 from gdrnet_tpu.data.augment import BackgroundReplacer, build_color_augmentor
 from gdrnet_tpu.ops.warp import affine_params
-from gdrnet_tpu.ops import rotation as R_ops
 
 
 def crop_resize(img: np.ndarray, center, scale, out_size: int,

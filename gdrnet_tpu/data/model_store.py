@@ -10,8 +10,6 @@ indexed by roi_class).
 
 from __future__ import annotations
 
-import os.path as osp
-
 import numpy as np
 
 from gdrnet_tpu.data.ref_meta import DatasetMeta

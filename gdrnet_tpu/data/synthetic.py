@@ -14,8 +14,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from gdrnet_tpu.ops.rotation import allo_to_ego_mat  # noqa: F401 (doc ref)
-
 
 def _random_rotations(rng: np.random.RandomState, n: int) -> np.ndarray:
     """Uniform random rotations via QR of gaussian matrices."""

@@ -13,7 +13,6 @@ from __future__ import annotations
 import os
 import os.path as osp
 
-import jax
 import orbax.checkpoint as ocp
 
 from gdrnet_tpu.engine.train_state import GDRNTrainState

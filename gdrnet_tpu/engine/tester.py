@@ -14,7 +14,6 @@ import os.path as osp
 import time
 from collections import defaultdict
 
-import jax
 import numpy as np
 
 from gdrnet_tpu.data import GDRNTestMapper, load_detections

@@ -47,7 +47,7 @@ def main(argv=None):
     args = parse_args(argv)
     cfg = setup(args)
 
-    from gdrnet_tpu.engine.trainer import do_train, build_train_objects
+    from gdrnet_tpu.engine.trainer import do_train
     from gdrnet_tpu.engine.tester import do_test
     from gdrnet_tpu.models import build_model
     from gdrnet_tpu.data.dataset_factory import resolve

@@ -9,7 +9,6 @@ log(1+exp(log_var)) using the log_var params returned by the model.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from gdrnet_tpu.losses.basic import (

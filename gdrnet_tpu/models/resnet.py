@@ -10,7 +10,7 @@ are per-replica (reference semantics under DDP).
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax

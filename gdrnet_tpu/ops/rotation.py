@@ -19,7 +19,6 @@ reference.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 _EPS = 1e-8
