@@ -94,10 +94,15 @@ def smooth_xyz(xyz: np.ndarray) -> np.ndarray:
 
 
 def xyz_to_region_np(xyz: np.ndarray, fps_points: np.ndarray) -> np.ndarray:
-    """Nearest-FPS region labels, 0 = bg (data_utils.xyz_to_region:213)."""
+    """Nearest-FPS region labels, 0 = bg (data_utils.xyz_to_region:213).
+
+    argmin of |x-f|^2 = |x|^2 - 2 x.f + |f|^2 via one [HW,3]x[3,F] matmul
+    (|x|^2 constant over f — dropped); ~10x the broadcast+sqrt form."""
+    h, w, _ = xyz.shape
     mask = np.any(xyz != 0, axis=-1)
-    d = np.linalg.norm(xyz[:, :, None, :] - fps_points[None, None], axis=-1)
-    region = np.argmin(d, axis=-1).astype(np.int32) + 1
+    flat = xyz.reshape(-1, 3)
+    scores = flat @ fps_points.T * (-2.0) + np.sum(fps_points ** 2, axis=1)[None]
+    region = (np.argmin(scores, axis=-1).astype(np.int32) + 1).reshape(h, w)
     return np.where(mask, region, 0).astype(np.int32)
 
 
