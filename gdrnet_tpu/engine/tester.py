@@ -56,8 +56,18 @@ def build_test_items(records: list[dict], detections: dict | None = None,
 
 def do_test(cfg, model, variables, models, records: list[dict],
             output_dir: str | None = None, data_root: str = "datasets/BOP_DATASETS",
-            save_csv: bool = True) -> dict:
-    """Run inference + in-process eval. Returns the evaluator results dict."""
+            save_csv: bool = True, shard: int | None = None,
+            num_shards: int | None = None) -> dict:
+    """Run inference + in-process eval. Returns the evaluator results dict.
+
+    Multi-host: each process evaluates its contiguous shard of the flat ROI
+    stream and predictions are gathered to every process before scoring
+    (reference all_gather of evaluator predictions, gdrn_evaluator.py:439-444
+    over NCCL -> here parallel.multihost.all_gather_objects)."""
+    from gdrnet_tpu.parallel import multihost as mh
+
+    shard = mh.get_rank() if shard is None else shard
+    num_shards = mh.get_world_size() if num_shards is None else num_shards
     detections = None
     if cfg.DATASETS.DET_FILES_TEST and cfg.TEST.TEST_BBOX_TYPE == "est":
         detections = load_detections(
@@ -87,6 +97,10 @@ def do_test(cfg, model, variables, models, records: list[dict],
             flat.append((rgb_path, K, det,
                          {"scene_id": info["scene_id"], "im_id": info["im_id"],
                           "gt": gts_by_obj.get(oid)}))
+
+    if num_shards > 1:  # contiguous shard of the flat ROI stream
+        per = -(-len(flat) // num_shards)
+        flat = flat[shard * per:(shard + 1) * per]
 
     bop_results = []
     total_compute, total_process, n_buckets = 0.0, 0.0, 0
@@ -140,8 +154,18 @@ def do_test(cfg, model, variables, models, records: list[dict],
         if start > 0:
             total_process += time.perf_counter() - t1
 
+    if num_shards > 1:
+        # gather every shard's raw (pose, gt) pairs, then score globally
+        gathered = mh.all_gather_objects(
+            {"bop": bop_results, "preds": dict(evaluator._preds)})
+        bop_results = [r for g in gathered for r in g["bop"]]
+        evaluator.reset()
+        for g in gathered:
+            for name, items_ in g["preds"].items():
+                evaluator._preds[name].extend(items_)
+
     results = evaluator.evaluate()
-    if output_dir and save_csv:
+    if output_dir and save_csv and mh.is_main_process():
         csv_path = osp.join(
             output_dir, f"{models.meta.name}-test_gdrnet-tpu.csv")
         save_bop_results(csv_path, bop_results)

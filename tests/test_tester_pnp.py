@@ -59,3 +59,42 @@ def test_do_test_use_pnp(env, tmp_path, pnp_type):
     assert len(rows) == 4
     for r in rows:
         assert np.all(np.isfinite(r["R"])) and np.all(np.isfinite(r["t"]))
+
+
+def test_do_test_sharded_partitions_rois(env, tmp_path):
+    """Explicit shard/num_shards must partition the flat ROI stream: the two
+    half-shards together cover exactly the rows of the unsharded run (the
+    multi-process gather itself is identity in a 1-process test)."""
+    meta, records, models = env
+    cfg = base_config()
+    cfg.MODEL.CDPN.BACKBONE.NUM_LAYERS = 18
+    cfg.MODEL.CDPN.BACKBONE.INPUT_RES = 64
+    cfg.MODEL.CDPN.BACKBONE.OUTPUT_RES = 16
+    cfg.MODEL.CDPN.ROT_HEAD.NUM_CLASSES = 2
+    cfg.MODEL.CDPN.ROT_HEAD.NUM_REGIONS = 4
+    cfg.TEST.ROI_BATCH_SIZE = 4
+    model = build_model(cfg)
+    sample = {k: __import__("jax.numpy", fromlist=["asarray"]).asarray(v)
+              for k, v in synthetic_roi_batch(
+                  batch_size=2, input_res=64, out_res=16).items()}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, sample["roi_img"],
+        roi_classes=sample["roi_classes"], roi_coord_2d=sample["roi_coord_2d"],
+        roi_cams=sample["roi_cams"], roi_centers=sample["roi_centers"],
+        roi_whs=sample["roi_whs"], roi_extents=sample["roi_extents"],
+        resize_ratios=sample["resize_ratios"], train=False)
+
+    from gdrnet_tpu.eval import load_bop_results
+
+    def rows_of(outdir, shard=None, num_shards=None):
+        res = do_test(cfg, model, variables, models, records,
+                      output_dir=str(outdir), shard=shard,
+                      num_shards=num_shards)
+        return load_bop_results(res["_csv_path"])
+
+    full = rows_of(tmp_path / "full")
+    half0 = rows_of(tmp_path / "s0", shard=0, num_shards=2)
+    half1 = rows_of(tmp_path / "s1", shard=1, num_shards=2)
+    key = lambda r: (r["scene_id"], r["im_id"], r["obj_id"])
+    assert len(half0) + len(half1) == len(full)
+    assert sorted(map(key, half0 + half1)) == sorted(map(key, full))
