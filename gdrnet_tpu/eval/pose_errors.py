@@ -146,6 +146,29 @@ def adi_sym_batch(R_est, t_est, R_gt, t_gt, pts, sym_rots, sym_mask):
     return get_closest_rot_batch(R_est, R_gt, sym_rots, sym_mask)
 
 
+@jax.jit
+def cou_mask_batch(mask_est, mask_gt):
+    """Complement-over-Union of binary masks (pose_error.py:466-485), batched
+    over [B, H, W]. Empty-union samples score 1.0 like the reference."""
+    me = mask_est.astype(bool).reshape(mask_est.shape[0], -1)
+    mg = mask_gt.astype(bool).reshape(mask_gt.shape[0], -1)
+    inter = jnp.sum(me & mg, axis=-1).astype(jnp.float32)
+    union = jnp.sum(me | mg, axis=-1).astype(jnp.float32)
+    return jnp.where(union > 0, 1.0 - inter / jnp.maximum(union, 1.0), 1.0)
+
+
+@jax.jit
+def cou_bb_batch(bb_est, bb_gt):
+    """Complement-over-Union of 2D xywh boxes (pose_error.py:534-544 via
+    misc.iou, misc.py:809-837), batched over [B, 4]."""
+    tl = jnp.maximum(bb_est[:, :2], bb_gt[:, :2])
+    br = jnp.minimum(bb_est[:, :2] + bb_est[:, 2:], bb_gt[:, :2] + bb_gt[:, 2:])
+    wh = br - tl
+    inter = jnp.where(jnp.all(wh > 0, axis=-1), wh[:, 0] * wh[:, 1], 0.0)
+    area = bb_est[:, 2] * bb_est[:, 3] + bb_gt[:, 2] * bb_gt[:, 3] - inter
+    return 1.0 - inter / jnp.maximum(area, 1e-12)
+
+
 # ---------------------------------------------------------------------------
 # score aggregation
 # ---------------------------------------------------------------------------

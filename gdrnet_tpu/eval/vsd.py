@@ -90,3 +90,45 @@ def vsd(R_est, t_est, R_gt, t_gt, depth_test, K, verts, faces,
         depth_est, depth_gt, jnp.asarray(depth_test, jnp.float32),
         jnp.asarray(K, jnp.float32), delta, np.asarray(taus, np.float32),
         diameter, normalized_by_diameter, cost_type))
+
+
+def cus(R_est, t_est, R_gt, t_gt, K, verts, faces,
+        height: int = 480, width: int = 640) -> float:
+    """Complement-over-Union of projected silhouettes (pose_error.py:487-532):
+    renders depth at both poses with the XLA rasterizer (the reference's
+    cpp/python/egl/aae renderer fan-out collapses to one path)."""
+    d_est, _ = render_xyz(verts, faces, jnp.asarray(K, jnp.float32),
+                          jnp.asarray(R_est, jnp.float32),
+                          jnp.asarray(t_est, jnp.float32),
+                          height=height, width=width)
+    d_gt, _ = render_xyz(verts, faces, jnp.asarray(K, jnp.float32),
+                         jnp.asarray(R_gt, jnp.float32),
+                         jnp.asarray(t_gt, jnp.float32),
+                         height=height, width=width)
+    from gdrnet_tpu.eval.pose_errors import cou_mask_batch
+
+    return float(cou_mask_batch((d_est > 0)[None], (d_gt > 0)[None])[0])
+
+
+def cou_bb_proj(R_est, t_est, R_gt, t_gt, K, verts, faces,
+                height: int = 480, width: int = 640) -> float:
+    """Complement-over-Union of projected-silhouette bounding boxes
+    (pose_error.py:545-590). Boxes from rendered masks, xywh, unclipped
+    (misc.calc_2d_bbox semantics)."""
+    import numpy as _np
+
+    def bb_of(R, t):
+        d, _ = render_xyz(verts, faces, jnp.asarray(K, jnp.float32),
+                          jnp.asarray(R, jnp.float32),
+                          jnp.asarray(t, jnp.float32),
+                          height=height, width=width)
+        ys, xs = _np.nonzero(_np.asarray(d) > 0)
+        if len(xs) == 0:
+            return _np.zeros(4, _np.float32)
+        return _np.array([xs.min(), ys.min(), xs.max() - xs.min() + 1,
+                          ys.max() - ys.min() + 1], _np.float32)
+
+    from gdrnet_tpu.eval.pose_errors import cou_bb_batch
+
+    bb_e, bb_g = bb_of(R_est, t_est), bb_of(R_gt, t_gt)
+    return float(cou_bb_batch(bb_e[None], bb_g[None])[0])

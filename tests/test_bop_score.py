@@ -121,3 +121,40 @@ def test_precision_mode(scored_setup):
     assert scores_r["ad"]["avg"] == pytest.approx(1.0)
     # precision judges every estimate -> half are garbage
     assert 0.3 < scores_p["ad"]["avg"] < 0.7
+
+
+def test_cou_mask_and_bb_golden():
+    """cou_mask/cou_bb vs the reference formulas (pose_error.py:466-485,
+    :534-544 with misc.iou :809-837) on hand-built cases."""
+    from gdrnet_tpu.eval.pose_errors import cou_mask_batch, cou_bb_batch
+
+    a = np.zeros((8, 8), bool); a[2:6, 2:6] = True   # 16 px
+    b = np.zeros((8, 8), bool); b[4:8, 4:8] = True   # 16 px, 4 overlap
+    errs = np.asarray(cou_mask_batch(
+        np.stack([a, a, a, np.zeros_like(a)]),
+        np.stack([a, b, np.zeros_like(a), np.zeros_like(a)])))
+    assert errs == pytest.approx([0.0, 1 - 4 / 28, 1.0, 1.0], abs=1e-6)
+
+    bb = np.array([[0, 0, 4, 4], [0, 0, 4, 4], [0, 0, 4, 4]], np.float32)
+    bb2 = np.array([[0, 0, 4, 4], [2, 2, 4, 4], [10, 10, 4, 4]], np.float32)
+    errs = np.asarray(cou_bb_batch(bb, bb2))
+    assert errs == pytest.approx([0.0, 1 - 4 / 28, 1.0], abs=1e-6)
+
+
+def test_cus_and_cou_bb_proj(scored_setup):
+    """Rendered-silhouette CoU: 0 at the true pose, large when shifted."""
+    meta, records, models = scored_setup
+    from gdrnet_tpu.data.ply import load_ply
+    from gdrnet_tpu.eval.vsd import cus, cou_bb_proj
+
+    rec = records[0]
+    ply = load_ply(meta.model_path(rec["obj_id"]), vertex_scale=0.001)
+    verts, faces = ply["pts"], ply["faces"]
+    kw = dict(height=meta.height, width=meta.width)
+    assert cus(rec["R"], rec["t"], rec["R"], rec["t"], rec["K"],
+               verts, faces, **kw) == pytest.approx(0.0, abs=1e-6)
+    assert cou_bb_proj(rec["R"], rec["t"], rec["R"], rec["t"], rec["K"],
+                       verts, faces, **kw) == pytest.approx(0.0, abs=1e-6)
+    t_bad = rec["t"] + np.array([0.15, 0.0, 0.0], np.float32)
+    assert cus(rec["R"], t_bad, rec["R"], rec["t"], rec["K"],
+               verts, faces, **kw) > 0.5

@@ -273,3 +273,24 @@ def test_gdrn_r_only_trans_head(rng):
     assert "trans_head" in variables["params"]
     assert out["trans"].shape == (2, 3)
     assert np.all(np.isfinite(np.asarray(out["trans"])))
+
+
+@pytest.mark.parametrize("conf_mode,coor_mode", [
+    ("cls", "cls"), ("cls", "reg"), ("reg", "cls"), ("reg", "reg")])
+def test_pvnet_modes(conf_mode, coor_mode):
+    """PVNet alternative net (model_repository.py:7-95): full-res outputs,
+    channel split per (conf_mode, coor_mode), finite, jittable."""
+    from gdrnet_tpu.models.pvnet import PVNet
+
+    net = PVNet(depth=18, conf_mode=conf_mode, coor_mode=coor_mode,
+                num_bins=9, fcdim=32, s8dim=16, s4dim=16, s2dim=8, raw_dim=8)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3), jnp.float32)
+    variables = net.init({"params": jax.random.PRNGKey(0)}, x)
+    conf, cx, cy, cz = jax.jit(
+        lambda v, x: net.apply(v, x, train=False))(variables, x)
+    n_conf = 2 if conf_mode == "cls" else 1
+    n_coor = 9 if coor_mode == "cls" else 1
+    assert conf.shape == (2, 32, 32, n_conf)
+    for c in (cx, cy, cz):
+        assert c.shape == (2, 32, 32, n_coor)
+        assert np.isfinite(np.asarray(c)).all()
