@@ -2,6 +2,8 @@
 the reference formulas (pose_error.py), BOP CSV round-trip, evaluator
 aggregation with perfect/noisy poses."""
 
+import os.path as osp
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -164,3 +166,29 @@ def test_custom_evaluator_symmetric(rng):
         ev.process("eggbox", Rg[i] @ sym_z[0], tg[i], Rg[i], tg[i], K)
     res = ev.evaluate()
     assert res["eggbox"]["re_2"] == 1.0  # closest-rot absorbs the symmetry
+
+
+def test_latex_report_and_plots(tmp_path):
+    """eval/report.py: compilable-shaped latex with per-object columns, and
+    plot files written (latex_report.py / eval_plots.py parity)."""
+    from gdrnet_tpu.eval.report import (
+        scores_to_latex, write_latex_report, plot_t_err_recall, plot_err_hist)
+
+    scores = {"ad_10": {"ape": 0.5, "can": 0.25, "avg": 0.375},
+              "re_5": {"ape": 1.0, "avg": 1.0}}
+    tex = scores_to_latex(scores, caption="fixture_scores")
+    assert "50.00" in tex and "37.50" in tex and r"fixture\_scores" in tex
+    assert tex.count("&") == 3 * 3  # header + 2 rows, 3 separators each
+
+    path = str(tmp_path / "report.tex")
+    full = write_latex_report(path, scores, title="unit_test")
+    assert full.startswith("\\documentclass") and full.rstrip().endswith(
+        "\\end{document}")
+    assert osp.exists(path)
+
+    rng = np.random.RandomState(0)
+    p1 = str(tmp_path / "t_recall.png")
+    p2 = str(tmp_path / "re_hist.png")
+    plot_t_err_recall(rng.rand(32, 3) * 0.05, p1)
+    plot_err_hist(rng.rand(32) * 10, p2, xlabel="rotation err [deg]")
+    assert osp.getsize(p1) > 1000 and osp.getsize(p2) > 1000

@@ -29,6 +29,7 @@ def main(argv=None):
     p.add_argument("--error-types", default="ad,rete,re,te,proj")
     p.add_argument("--n-top", type=int, default=1)
     p.add_argument("--out", default=None, help="write scores json here")
+    p.add_argument("--latex", default=None, help="write a latex report here")
     args = p.parse_args(argv)
 
     from gdrnet_tpu.data.ref_meta import get_meta
@@ -63,6 +64,12 @@ def main(argv=None):
                            for o, v in per.items()}
                        for k, per in scores.items()}, f, indent=2)
         print(f"saved {args.out}")
+
+    if args.latex:
+        from gdrnet_tpu.eval.report import write_latex_report
+        write_latex_report(args.latex, scores,
+                           title=osp.basename(args.csv))
+        print(f"saved {args.latex}")
 
 
 if __name__ == "__main__":
