@@ -150,3 +150,107 @@ def xyz_crop_from_render(depth: np.ndarray, xyz: np.ndarray) -> dict:
     y1, y2 = int(ys.min()), int(ys.max())
     crop = np.asarray(xyz)[y1:y2 + 1, x1:x2 + 1].astype(np.float16)
     return {"xyz_crop": crop, "xyxy": (x1, y1, x2, y2)}
+
+
+def vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted per-vertex normals (host, offline) — what assimp
+    supplies to the reference renderer (lib/meshrenderer/gl_utils/geometry.py
+    load_meshes_sixd)."""
+    verts = np.asarray(verts, np.float64)
+    faces = np.asarray(faces, np.int64)
+    fn = np.cross(verts[faces[:, 1]] - verts[faces[:, 0]],
+                  verts[faces[:, 2]] - verts[faces[:, 0]])  # area-weighted
+    vn = np.zeros_like(verts)
+    for k in range(3):
+        np.add.at(vn, faces[:, k], fn)
+    n = np.linalg.norm(vn, axis=1, keepdims=True)
+    return (vn / np.maximum(n, 1e-12)).astype(np.float32)
+
+
+def render_normals(verts, faces, K, R, t, height: int, width: int,
+                   chunk: int = 512, normals: np.ndarray | None = None):
+    """Camera-space unit-normal map + depth — the reference's
+    meshrenderer_phong_normals.py output. Normals rotate by R only."""
+    normals = vertex_normals(verts, faces) if normals is None else normals
+    faces_p = _pad_faces(np.asarray(faces), chunk)
+    n_cam = np.asarray(normals, np.float32) @ np.asarray(R, np.float32).T
+    depth, nmap = rasterize_attr(
+        jnp.asarray(verts, jnp.float32), jnp.asarray(n_cam),
+        jnp.asarray(faces_p), jnp.asarray(K, jnp.float32),
+        jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32),
+        height=height, width=width, chunk=chunk)
+    norm = jnp.linalg.norm(nmap, axis=-1, keepdims=True)
+    return depth, jnp.where(depth[..., None] > 0,
+                            nmap / jnp.maximum(norm, 1e-12), 0.0)
+
+
+# default material color of the reference CAD shader
+# (lib/meshrenderer/shader/cad_shader.frag:21-23)
+_CAD_MATERIAL = np.array([223.0, 214.0, 205.0], np.float32) / 255.0
+
+
+def render_phong(verts, faces, K, R, t, height: int, width: int,
+                 colors: np.ndarray | None = None,
+                 light_pos=(400.0, 400.0, 400.0),
+                 ambient: float = 0.4, diffuse: float = 0.8,
+                 specular: float = 0.3, chunk: int = 512,
+                 normals: np.ndarray | None = None):
+    """Phong-shaded RGB render + depth — the reference's EGL renderer
+    (lib/meshrenderer/meshrenderer_phong.py:125-208 with the directional
+    Phong model of shader/cad_shader.frag:16-39: rgb = ambient*mat +
+    diffuse*max(n.l,0)*mat + specular*max(reflect(-l,n).view,0)*mat,
+    clipped to 1; light at `light_pos` in camera frame, viewer at origin).
+
+    colors: optional [V, 3] per-vertex material (PLY colour); default the
+    CAD material constant. Returns (depth [H,W], rgb [H,W,3] in [0,1]).
+    """
+    normals = vertex_normals(verts, faces) if normals is None else normals
+    verts32 = np.asarray(verts, np.float32)
+    R32 = np.asarray(R, np.float32)
+    t32 = np.asarray(t, np.float32)
+    n_cam = np.asarray(normals, np.float32) @ R32.T          # [V, 3]
+    p_cam = verts32 @ R32.T + t32                            # [V, 3]
+    mat = (np.broadcast_to(_CAD_MATERIAL, (verts32.shape[0], 3))
+           if colors is None else np.asarray(colors, np.float32))
+    attrs = jnp.asarray(np.concatenate([n_cam, p_cam, mat], -1))  # [V, 9]
+    faces_p = _pad_faces(np.asarray(faces), chunk)
+    depth, amap = rasterize_attr(
+        jnp.asarray(verts32), attrs, jnp.asarray(faces_p),
+        jnp.asarray(K, jnp.float32), jnp.asarray(R32), jnp.asarray(t32),
+        height=height, width=width, chunk=chunk)
+
+    def _unit(x):
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+    n = _unit(amap[..., 0:3])
+    p = amap[..., 3:6]
+    c = amap[..., 6:9]
+    l = _unit(jnp.asarray(light_pos, jnp.float32)[None, None] - p)
+    v = _unit(-p)
+    ndl = jnp.maximum(jnp.sum(n * l, -1, keepdims=True), 0.0)
+    refl = 2.0 * ndl * n - l  # reflect(-l, n)
+    rdv = jnp.maximum(jnp.sum(refl * v, -1, keepdims=True), 0.0)
+    rgb = jnp.clip(c * (ambient + diffuse * ndl + specular * rdv), 0.0, 1.0)
+    return depth, jnp.where(depth[..., None] > 0, rgb, 0.0)
+
+
+def render_phong_many(verts, faces, K, Rs, ts, height: int, width: int,
+                      random_light: bool = False,
+                      rng: np.random.RandomState | None = None,
+                      **kwargs):
+    """Sequential multi-pose render (meshrenderer_phong.py:209-320
+    render_many): same mesh, many poses; optional per-call random light
+    pose/intensities like the reference's domain randomization."""
+    outs = []
+    rng = rng or np.random.RandomState()
+    for R, t in zip(Rs, ts):
+        kw = dict(kwargs)
+        if random_light:
+            kw.setdefault("light_pos", 1000.0 * rng.random_sample(3))
+            kw.setdefault("ambient", 0.4 + 0.1 * (2 * rng.random_sample() - 1))
+            kw.setdefault("diffuse", 0.8 + 0.1 * (2 * rng.random_sample() - 1))
+            kw.setdefault("specular", 0.3 + 0.1 * (2 * rng.random_sample() - 1))
+        outs.append(render_phong(verts, faces, K, R, t, height, width, **kw))
+    depths, rgbs = zip(*outs)
+    return np.stack([np.asarray(d) for d in depths]), \
+        np.stack([np.asarray(c) for c in rgbs])

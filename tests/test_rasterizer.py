@@ -78,3 +78,65 @@ def test_occlusion_two_cubes():
     depth, xyz = render_xyz(v2, f2, K, R, t, height=96, width=128)
     depth = np.asarray(depth)
     assert depth[48, 64] == pytest.approx(0.40, abs=1e-3)
+
+
+def test_render_normals_unit_and_facing():
+    """Camera-space normal map: unit length on hits, zero off-mask, and the
+    camera-facing face has negative z (meshrenderer_phong_normals parity)."""
+    from gdrnet_tpu.ops.rasterizer import render_normals
+
+    v, f = make_cube(0.05)
+    R = np.eye(3, dtype=np.float32)
+    t = np.array([0, 0, 0.5], np.float32)
+    depth, nmap = render_normals(v, f, K, R, t, height=96, width=128)
+    depth, nmap = np.asarray(depth), np.asarray(nmap)
+    hit = depth > 0
+    norms = np.linalg.norm(nmap[hit], axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+    assert np.all(nmap[hit][:, 2] < 0)  # every visible normal faces camera
+    assert np.all(nmap[~hit] == 0)
+
+    # exact: constant normals -> exact (0,0,-1) at every hit
+    flat = np.tile(np.array([0, 0, -1], np.float32), (len(v), 1))
+    _, nflat = render_normals(v, f, K, R, t, height=96, width=128,
+                              normals=flat)
+    np.testing.assert_allclose(np.asarray(nflat)[hit],
+                               [[0, 0, -1]] * hit.sum(), atol=1e-5)
+
+
+def test_render_phong_shading_model():
+    """Phong shading vs hand-computed cad_shader.frag math on a flat-normal
+    face (shader/cad_shader.frag:16-39)."""
+    from gdrnet_tpu.ops.rasterizer import render_phong
+
+    v, f = make_cube(0.05)
+    R = np.eye(3, dtype=np.float32)
+    t = np.array([0, 0, 0.5], np.float32)
+    flat = np.tile(np.array([0, 0, -1], np.float32), (len(v), 1))
+    light = np.array([0.0, 0.0, -1.0], np.float32)  # behind camera
+    depth, rgb = render_phong(v, f, K, R, t, height=96, width=128,
+                              normals=flat, light_pos=light,
+                              ambient=0.4, diffuse=0.8, specular=0.3)
+    depth, rgb = np.asarray(depth), np.asarray(rgb)
+    # center pixel: p=(0,0,0.45), n=(0,0,-1), l=unit(light-p)=(0,0,-1),
+    # ndl=1, reflect=-l=(0,0,-1)... view=unit(-p)=(0,0,-1) -> rdv=1
+    mat = np.array([223, 214, 205], np.float32) / 255.0
+    expect = np.clip(mat * (0.4 + 0.8 * 1.0 + 0.3 * 1.0), 0, 1)
+    np.testing.assert_allclose(rgb[48, 64], expect, atol=1e-3)
+    assert np.all(rgb[depth == 0] == 0)
+    assert rgb.min() >= 0 and rgb.max() <= 1
+
+
+def test_render_phong_many_shapes():
+    from gdrnet_tpu.ops.rasterizer import render_phong_many
+
+    v, f = make_cube(0.05)
+    R = np.eye(3, dtype=np.float32)
+    ts = [np.array([0, 0, z], np.float32) for z in (0.4, 0.6)]
+    ds, cs = render_phong_many(v, f, K, [R, R], ts, height=48, width=64,
+                               random_light=True,
+                               rng=np.random.RandomState(3))
+    assert ds.shape == (2, 48, 64) and cs.shape == (2, 48, 64, 3)
+    # nearer pose covers more pixels
+    assert (ds[0] > 0).sum() > (ds[1] > 0).sum()
+    assert np.isfinite(cs).all()
