@@ -43,6 +43,10 @@ _DEFAULTS = dict(
         DZI_SCALE_RATIO=0.25,
         DZI_SHIFT_RATIO=0.25,
         SMOOTH_XYZ=False,
+        # TPU-first: host only decodes/augments bytes; DZI, crops, and every
+        # target tensor are computed on device as one XLA program
+        # (data/device_pipeline.device_train_batch)
+        DEVICE_PREPROCESS=False,
     ),
     DATASETS=dict(
         TRAIN=(),

@@ -75,6 +75,7 @@ def device_roi_pipeline(
     scale_ratio: float = 0.25,
     shift_ratio: float = 0.25,
     xyz_mask_gt: str = "visib",
+    mask_trunc: jnp.ndarray | None = None,  # [B, H, W]; defaults to visib
 ) -> dict:
     B, H, W, _ = images.shape
     centers, scales = dzi_aug_bbox_batch(
@@ -82,7 +83,10 @@ def device_roi_pipeline(
 
     mask_obj = jnp.any(xyz != 0, axis=-1).astype(jnp.float32)
     mask_visib = mask_visib.astype(jnp.float32) * mask_obj
-    mask_trunc = mask_visib
+    # trunc differs from visib only after host-side bg TRUNCATE_FG
+    # (base_data_loader.py:320-364)
+    mask_trunc = (mask_visib if mask_trunc is None
+                  else mask_trunc.astype(jnp.float32) * mask_obj)
 
     M_in = affine_params_batch(centers, scales, input_res, inv=True)
     M_out = affine_params_batch(centers, scales, out_res, inv=True)
@@ -150,4 +154,50 @@ def device_roi_pipeline(
         batch["gt_xyz_bin"] = bins
     else:
         batch["gt_xyz_bin"] = jnp.zeros((B, out_res, out_res, 3), jnp.int32)
+    return batch
+
+
+def device_train_batch(
+    key,
+    raw: dict,
+    points_stack: jnp.ndarray,    # [C, N, 3]
+    extents_stack: jnp.ndarray,   # [C, 3]
+    fps_stack: jnp.ndarray,       # [C, F, 3]
+    sym_rots_stack: jnp.ndarray,  # [C, K, 3, 3]
+    sym_mask_stack: jnp.ndarray,  # [C, K]
+    pixel_mean: jnp.ndarray,
+    pixel_std: jnp.ndarray,
+    **pipeline_kwargs,
+) -> dict:
+    """Raw mapper batch -> full GDRN train batch, entirely on device.
+
+    `raw` comes from data.mapper.GDRNRawTrainMapper: uint8 image, f16 xyz,
+    uint8 masks, bbox/pose/K/class. Per-class constants (model points for the
+    PM loss, extents, FPS anchors, padded symmetry sets) are gathered from
+    the [C, ...] stacks by class index here, so the host ships 1 int instead
+    of ~3k points per ROI. Everything the reference's read_data emits
+    (data_loader.py:304-633) comes out of this one XLA program; jit it (or
+    let the trainer fuse it ahead of the train step)."""
+    cls = raw["roi_classes"].astype(jnp.int32)
+    extents = extents_stack[cls]
+    batch = device_roi_pipeline(
+        key,
+        raw["image"].astype(jnp.float32),
+        raw["xyz"].astype(jnp.float32),
+        raw["mask_visib"],
+        raw["bbox"].astype(jnp.float32),
+        raw["gt_ego_rot"].astype(jnp.float32),
+        raw["gt_trans"].astype(jnp.float32),
+        raw["roi_cams"].astype(jnp.float32),
+        extents,
+        fps_stack[cls],
+        pixel_mean,
+        pixel_std,
+        mask_trunc=raw.get("mask_trunc"),
+        **pipeline_kwargs,
+    )
+    batch["roi_classes"] = cls
+    batch["gt_points"] = points_stack[cls]
+    batch["sym_rots"] = sym_rots_stack[cls]
+    batch["sym_mask"] = sym_mask_stack[cls]
     return batch

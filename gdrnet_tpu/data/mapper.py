@@ -268,6 +268,64 @@ class GDRNTrainMapper:
         return sample
 
 
+class GDRNRawTrainMapper(GDRNTrainMapper):
+    """Host half of the device-side preprocessing split
+    (INPUT.DEVICE_PREPROCESS): do only what needs bytes/imgaug on the host —
+    decode, bg replacement, color aug, xyz load — and ship compact raw
+    full-frame tensors; all warps/targets run in data.device_pipeline.
+    device_train_batch as one XLA program (the reference does everything on
+    CPU workers, data_loader.py:304-633)."""
+
+    def __call__(self, rec: dict, rng: np.random.RandomState) -> dict:
+        img = cv2.imread(rec["rgb_path"], cv2.IMREAD_COLOR)
+        assert img is not None, rec["rgb_path"]
+        im_h, im_w = img.shape[:2]
+
+        xyz = self._load_xyz(rec, im_h, im_w)
+        if self.cfg.INPUT.SMOOTH_XYZ:
+            xyz = smooth_xyz(xyz)
+        mask_obj = np.any(xyz != 0, axis=-1).astype(np.float32)
+
+        mask_visib = None
+        import os.path as osp
+        if rec.get("mask_visib_path") and osp.exists(rec["mask_visib_path"]):
+            mv = cv2.imread(rec["mask_visib_path"], cv2.IMREAD_GRAYSCALE)
+            if mv is not None:
+                mask_visib = (mv > 0).astype(np.float32)
+        if mask_visib is None:
+            mask_visib = mask_obj.copy()
+        mask_visib = mask_visib * mask_obj
+        mask_trunc = mask_visib.copy()
+
+        is_syn = rec.get("img_type", "real") != "real"
+        if self.bg is not None and (is_syn or rng.rand() < self.change_bg_prob):
+            img, mask_trunc_new = self.bg.replace(
+                img, mask_trunc, rng, truncate_fg=self.truncate_fg)
+            mask_trunc = mask_trunc * mask_trunc_new
+        if self.color_aug is not None and rng.rand() < self.color_aug_prob:
+            if not (self.color_aug_syn_only and not is_syn):
+                img = self.color_aug(img, rng)
+
+        ys, xs = np.nonzero(mask_obj)
+        if len(xs) == 0:
+            raise ValueError("empty object mask")
+        bbox = np.asarray([xs.min(), ys.min(), xs.max(), ys.max()], np.float32)
+
+        # compact dtypes: the xyz GT artifact is f16 already
+        # (lm_pbr_1_gen_xyz_crop.py:186-207); masks fit in uint8
+        return {
+            "image": np.ascontiguousarray(img, dtype=np.uint8),
+            "xyz": xyz.astype(np.float16),
+            "mask_visib": mask_visib.astype(np.uint8),
+            "mask_trunc": mask_trunc.astype(np.uint8),
+            "bbox": bbox,
+            "gt_ego_rot": rec["R"].astype(np.float32),
+            "gt_trans": rec["t"].astype(np.float32),
+            "roi_cams": rec["K"].astype(np.float32),
+            "roi_classes": np.int32(self.models.label_of(rec["label"])),
+        }
+
+
 class GDRNTestMapper:
     """All detections of one image -> padded ROI batch (reference test path
     batches per-image ROIs in the mapper, data_loader.py:367-451; padding to

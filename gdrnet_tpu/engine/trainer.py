@@ -60,7 +60,12 @@ def build_train_objects(cfg, data_root: str = "datasets/BOP_DATASETS"):
             cfg.INPUT.BG_IMGS_ROOT, cfg.INPUT.NUM_BG_IMGS,
             keep_aspect=cfg.INPUT.BG_KEEP_ASPECT_RATIO,
             bg_type=cfg.INPUT.BG_TYPE)
-    mapper = GDRNTrainMapper(cfg, models, bg_replacer=bg)
+    mapper_cls = GDRNTrainMapper
+    if cfg.INPUT.DEVICE_PREPROCESS:
+        from gdrnet_tpu.data.mapper import GDRNRawTrainMapper
+
+        mapper_cls = GDRNRawTrainMapper
+    mapper = mapper_cls(cfg, models, bg_replacer=bg)
     return meta, records, records2, models, mapper
 
 
@@ -105,13 +110,49 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
     schedule = build_lr_schedule(cfg, base_lr, total_iters)
     optimizer = build_optimizer(cfg, lr_schedule=schedule)
 
+    # device-side preprocessing: ship raw frames, run the whole mapper tail
+    # (DZI/crops/targets) as one sharded XLA program (INPUT.DEVICE_PREPROCESS)
+    device_prep = None
+    if cfg.INPUT.DEVICE_PREPROCESS:
+        from gdrnet_tpu.data.device_pipeline import device_train_batch
+
+        rh = cfg.MODEL.CDPN.ROT_HEAD
+        stacks = jax.device_put(
+            (jnp.asarray(models.points_stack), jnp.asarray(models.extents_stack),
+             jnp.asarray(models.fps_stack), jnp.asarray(models.sym_rots_stack),
+             jnp.asarray(models.sym_mask_stack),
+             jnp.asarray(cfg.MODEL.PIXEL_MEAN, jnp.float32),
+             jnp.asarray(cfg.MODEL.PIXEL_STD, jnp.float32)),
+            replicated_sharding(mesh))
+        prep_static = dict(
+            input_res=cfg.MODEL.CDPN.BACKBONE.INPUT_RES,
+            out_res=cfg.MODEL.CDPN.BACKBONE.OUTPUT_RES,
+            xyz_bin=rh.XYZ_BIN, with_bins="CE" in rh.XYZ_LOSS_TYPE,
+            dzi_type=cfg.INPUT.DZI_TYPE, pad_scale=cfg.INPUT.DZI_PAD_SCALE,
+            scale_ratio=cfg.INPUT.DZI_SCALE_RATIO,
+            shift_ratio=cfg.INPUT.DZI_SHIFT_RATIO,
+            xyz_mask_gt=rh.XYZ_LOSS_MASK_GT)
+        prep_rng = jax.random.PRNGKey(seed + 101)
+
+        def device_prep(it_, raw):
+            return device_train_batch(
+                jax.random.fold_in(prep_rng, it_), raw, *stacks, **prep_static)
+
+    def to_device(nb, it_):
+        b = shard_batch({k: jnp.asarray(v) for k, v in nb.items()
+                         if k not in ("sym_info",)}, mesh)
+        if device_prep is not None:
+            # re-constrain: constants materialized inside the prep program
+            # (e.g. the no-bins gt_xyz_bin zeros) come out replicated
+            b = shard_batch(device_prep(it_, b), mesh)
+        return b
+
     loader_iter = iter(loader)
     t0 = time.perf_counter()
     first_batch = next(loader_iter)
     data_time = time.perf_counter() - t0
 
-    batch_dev = shard_batch({k: jnp.asarray(v) for k, v in first_batch.items()
-                             if k not in ("sym_info",)}, mesh)
+    batch_dev = to_device(first_batch, 0)
     rng = jax.random.PRNGKey(seed)
     state = create_train_state(model, optimizer, batch_dev, rng)
     state = jax.device_put(state, replicated_sharding(mesh))
@@ -145,7 +186,7 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
         if it + 1 < total_iters:
             t0 = time.perf_counter()
             nb = next(loader_iter)
-            batch = shard_batch({k: jnp.asarray(v) for k, v in nb.items()}, mesh)
+            batch = to_device(nb, it + 1)
             data_time = time.perf_counter() - t0
         # Only sync with the device at print boundaries — a per-step host
         # fetch would serialize dispatch/compute (the reference pays this for
@@ -197,9 +238,11 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
                 from gdrnet_tpu.engine.steps import _model_kwargs
 
                 def _batches():
+                    bn_it = 2 ** 30  # disjoint from train-iteration keys
                     while True:
                         nb = next(loader_iter)
-                        yield {k: jnp.asarray(v) for k, v in nb.items()}
+                        bn_it += 1
+                        yield to_device(nb, bn_it)
 
                 new_vars = update_bn_stats(
                     model, state.variables(), _batches(),

@@ -113,3 +113,23 @@ def test_train_eval_resume(fixture_env, tmp_path):
     loaded = load_bop_results(results["_csv_path"])
     assert len(loaded) == 8  # 4 images x 2 objects
     assert "objects" in results["_summary"]
+
+
+def test_train_device_preprocess(fixture_env, tmp_path):
+    """INPUT.DEVICE_PREPROCESS=True: host ships raw frames, the XLA pipeline
+    builds the train batch on device; loss must drop like the host path."""
+    from gdrnet_tpu.engine.trainer import do_train
+
+    cfg = _tiny_cfg(tmp_path / "out_devprep")
+    cfg.INPUT.DEVICE_PREPROCESS = True
+    state, models = do_train(cfg, max_iters_override=60)
+    assert int(state.step) == 60
+
+    import json
+    with open(osp.join(cfg.OUTPUT_DIR, "metrics.json")) as f:
+        rows = [json.loads(l) for l in f]
+    losses = [r["total_loss"] for r in rows]
+    assert all(np.isfinite(losses))
+    head = float(np.mean(losses[:3]))
+    tail = float(np.mean(losses[-3:]))
+    assert tail < head * 0.95, f"loss did not drop (device preprocess): {losses}"
