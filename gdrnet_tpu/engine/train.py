@@ -40,6 +40,12 @@ def setup(args) -> Config:
     if cfg.DEBUG:
         cfg.DATALOADER.NUM_WORKERS = 0
         cfg.TRAIN.PRINT_FREQ = 1
+    # dump the resolved config into the run dir for reproducibility
+    # (reference default_args_setup.py:102-110)
+    import os
+
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+    cfg.dump(osp.join(cfg.OUTPUT_DIR, "config_dump.json"))
     return cfg
 
 

@@ -48,6 +48,20 @@ class ConsoleWriter:
     def __init__(self, max_iter: int):
         self.max_iter = max_iter
 
+    @staticmethod
+    def _mem() -> str:
+        """Device HBM in use (reference prints max_mem, my_writer.py console
+        line); empty on backends without memory_stats (virtual CPU)."""
+        try:
+            import jax
+
+            stats = jax.local_devices()[0].memory_stats()
+            if stats and "bytes_in_use" in stats:
+                return f"  mem: {stats['bytes_in_use'] / 2**20:.0f}M"
+        except Exception:  # noqa: BLE001 — reporting only
+            pass
+        return ""
+
     def write(self, ev: EventLog) -> None:
         it = ev.iter
         data_t = ev.mean("time/data")
@@ -60,7 +74,7 @@ class ConsoleWriter:
         lr = ev.latest.get("lr", 0.0)
         logger.info(
             f"iter {it}/{self.max_iter}  eta: {eta}  {losses}  lr: {lr:.3e}  "
-            f"data: {data_t:.3f}s  step: {step_t:.3f}s")
+            f"data: {data_t:.3f}s  step: {step_t:.3f}s{self._mem()}")
 
 
 class JsonWriter:
