@@ -113,6 +113,8 @@ _DEFAULTS = dict(
         PRECISE_BN=dict(ENABLED=False, NUM_ITER=200),
         AMP_TEST=False,
         ROI_BATCH_SIZE=64,  # padded ROI bucket size at test (TPU static shapes)
+        # crop ROIs on device from raw deduped frames (serving path)
+        DEVICE_PREPROCESS=False,
     ),
     # MODEL: reference gdrn_base.py MODEL dict
     MODEL=dict(

@@ -415,3 +415,102 @@ def collate(samples: list[dict]) -> dict:
     """Stack per-sample dicts into one batch dict of numpy arrays."""
     keys = samples[0].keys()
     return {k: np.stack([s[k] for s in samples]) for k in keys}
+
+
+class GDRNDeviceTestMapper(GDRNTestMapper):
+    """Test mapper with device-side crops (TEST.DEVICE_PREPROCESS): the host
+    decodes each unique image once and ships it raw uint8; the ROI warp +
+    pixel normalization run as one jitted XLA program and `roi_img` stays on
+    device for the predict step (no 256x256 f32 crops over PCIe). Same
+    `map_flat` contract as GDRNTestMapper; cheap metadata (coord2d, K,
+    extents, ...) stays on host. Unique-image counts pad to powers of two to
+    bound recompiles."""
+
+    def __init__(self, cfg, models: ObjectModels, roi_batch_size: int = 64):
+        super().__init__(cfg, models, roi_batch_size)
+        self._warp_jit = None
+
+    def _build_warp(self):
+        import jax
+        import jax.numpy as jnp
+
+        from gdrnet_tpu.ops.warp import affine_params_batch, warp_affine_batch
+
+        mean = jnp.asarray(self.pixel_mean)
+        std = jnp.asarray(self.pixel_std)
+        input_res = self.input_res
+
+        @jax.jit
+        def warp(images_u8, idx, centers, scales):
+            M = affine_params_batch(centers, scales, input_res, inv=True)
+            per_roi = images_u8[idx].astype(jnp.float32)
+            roi = warp_affine_batch(per_roi, M, (input_res, input_res),
+                                    interp="bilinear")
+            return (roi - mean) / std
+
+        return warp
+
+    def _fill_meta(self, out: dict, i: int, im_h: int, im_w: int,
+                   K: np.ndarray, det: dict) -> tuple[np.ndarray, float]:
+        """Everything _fill_roi does except the crop; returns (center, scale)
+        for the device warp."""
+        name = det.get("label") or self.models.meta.id2obj[int(det["obj_id"])]
+        cls = self.models.label_of(name)
+        bbox = det.get("bbox_est", det.get("bbox"))
+        x1, y1, x2, y2 = [float(v) for v in bbox]
+        if det.get("bbox_mode", "xyxy") == "xywh":
+            x2, y2 = x1 + x2, y1 + y2
+        center = np.asarray([(x1 + x2) / 2, (y1 + y2) / 2], np.float32)
+        bw, bh = max(x2 - x1, 1), max(y2 - y1, 1)
+        scale = min(max(bh, bw) * self.pad_scale, max(im_h, im_w)) * 1.0
+        out["roi_coord_2d"][i] = roi_coord_2d(im_w, im_h, center, scale,
+                                              self.out_res)
+        out["roi_cams"][i] = K
+        out["roi_classes"][i] = cls
+        out["roi_centers"][i] = center
+        out["roi_whs"][i] = (bw, bh)
+        out["roi_extents"][i] = self.models.extents[name]
+        out["resize_ratios"][i] = self.out_res / scale
+        out["valid"][i] = True
+        out["scores"][i] = float(det.get("score", 1.0))
+        out["obj_ids"][i] = self.models.meta.obj2id[name]
+        out["im_hws"][i] = (im_h, im_w)
+        return center, scale
+
+    def map_flat(self, entries: list[tuple]) -> dict:
+        import jax.numpy as jnp
+
+        bs = self.roi_batch_size
+        assert len(entries) <= bs
+        out = self._empty_batch(bs)
+        paths: dict[str, int] = {}
+        img_list: list[np.ndarray] = []
+        idx = np.zeros(bs, np.int32)
+        centers = np.zeros((bs, 2), np.float32)
+        scales = np.ones(bs, np.float32)
+        for i, (rgb_path, K, det) in enumerate(entries):
+            if rgb_path not in paths:
+                img = cv2.imread(rgb_path, cv2.IMREAD_COLOR)
+                assert img is not None, rgb_path
+                paths[rgb_path] = len(img_list)
+                img_list.append(img)
+            img = img_list[paths[rgb_path]]
+            idx[i] = paths[rgb_path]
+            centers[i], scales[i] = self._fill_meta(
+                out, i, img.shape[0], img.shape[1],
+                np.asarray(K, np.float32), det)
+
+        # pad unique-image count to a power of two (bounded jit variants)
+        n_img = max(len(img_list), 1)
+        n_pad = 1 << (n_img - 1).bit_length()
+        h = max(im.shape[0] for im in img_list)
+        w = max(im.shape[1] for im in img_list)
+        stack = np.zeros((n_pad, h, w, 3), np.uint8)
+        for k, im in enumerate(img_list):
+            stack[k, :im.shape[0], :im.shape[1]] = im
+        if self._warp_jit is None:
+            self._warp_jit = self._build_warp()
+        out["roi_img"] = self._warp_jit(
+            jnp.asarray(stack), jnp.asarray(idx), jnp.asarray(centers),
+            jnp.asarray(scales))
+        return out

@@ -78,7 +78,12 @@ def do_test(cfg, model, variables, models, records: list[dict],
     use_pnp = cfg.TEST.USE_PNP
     pnp_type = cfg.TEST.PNP_TYPE  # ransac_pnp | net_iter_pnp | net_ransac_pnp
     bucket = cfg.TEST.ROI_BATCH_SIZE
-    mapper = GDRNTestMapper(cfg, models, roi_batch_size=bucket)
+    if cfg.TEST.get("DEVICE_PREPROCESS"):
+        from gdrnet_tpu.data.mapper import GDRNDeviceTestMapper
+
+        mapper = GDRNDeviceTestMapper(cfg, models, roi_batch_size=bucket)
+    else:
+        mapper = GDRNTestMapper(cfg, models, roi_batch_size=bucket)
     predict = make_predict_step(model, with_maps=use_pnp)
 
     evaluator = CustomEvaluator(

@@ -117,3 +117,32 @@ def test_device_pipeline_dzi_random(env):
     # all outputs finite
     for k, v in d1.items():
         assert np.all(np.isfinite(np.asarray(v, dtype=np.float64))), k
+
+
+def test_device_test_mapper_matches_host(env):
+    """GDRNDeviceTestMapper.map_flat: device crops must match the host
+    mapper's cv2 crops; all metadata identical."""
+    from gdrnet_tpu.config import base_config
+    from gdrnet_tpu.data.mapper import GDRNTestMapper, GDRNDeviceTestMapper
+
+    meta, records, models = env
+    cfg = base_config()
+    cfg.MODEL.CDPN.BACKBONE.INPUT_RES = 64
+    cfg.MODEL.CDPN.BACKBONE.OUTPUT_RES = 16
+    entries = [(r["rgb_path"], r["K"],
+                {"obj_id": r["obj_id"], "bbox": r["bbox_visib"], "score": 0.9})
+               for r in records[:4]]
+    host = GDRNTestMapper(cfg, models, roi_batch_size=4).map_flat(entries)
+    dev = GDRNDeviceTestMapper(cfg, models, roi_batch_size=4).map_flat(entries)
+
+    for k in host:
+        if k == "roi_img":
+            continue
+        np.testing.assert_allclose(np.asarray(dev[k]), host[k], atol=1e-5,
+                                   err_msg=k)
+    d_img = np.asarray(dev["roi_img"])
+    h_img = host["roi_img"]
+    # bilinear warps agree except at resampling edges; compare robustly
+    diff = np.abs(d_img - h_img)
+    assert np.quantile(diff, 0.99) < 2e-2, float(np.quantile(diff, 0.99))
+    assert diff.mean() < 5e-3, float(diff.mean())
