@@ -88,3 +88,38 @@ def test_gen_det_fuse(tmp_path):
     assert a["bbox"][2] > 0 and a["bbox"][3] > 0
     assert osp.exists(str(tmp_path / "out" / "images" / "000000.jpg"))
     assert osp.exists(str(tmp_path / "out" / "annotations.json"))
+
+
+def test_gen_test_targets(tmp_path):
+    """tools/gen_test_targets.py: BOP targets json from scene_gt, with
+    keyframe filtering (gen_ycbv_test_targets_keyframe_json.py parity)."""
+    import json
+
+    from fixture_bop import build_fixture_dataset
+    from gdrnet_tpu.data.ref_meta import get_meta
+    import tools.gen_test_targets as gtt
+
+    root = tmp_path / "ds"
+    meta = build_fixture_dataset(str(root), n_images=3, seed=9)
+    # monkeypatch get_meta to return the fixture meta
+    import gdrnet_tpu.data.ref_meta as rm
+    real_get_meta = rm.get_meta
+    rm.get_meta = lambda name, data_root=None: meta
+    try:
+        out = str(tmp_path / "targets.json")
+        gtt.main(["--dataset", "fixture", "--split", "test", "--out", out])
+        rows = json.load(open(out))
+        assert rows and all(set(r) == {"im_id", "inst_count", "obj_id",
+                                       "scene_id"} for r in rows)
+        n_all = len(rows)
+        # keyframe filter: keep only image 0 of scene 1
+        kf = tmp_path / "keyframe.txt"
+        kf.write_text("0001/000000\n")
+        out2 = str(tmp_path / "targets_kf.json")
+        gtt.main(["--dataset", "fixture", "--split", "test", "--out", out2,
+                  "--keyframe", str(kf)])
+        rows2 = json.load(open(out2))
+        assert 0 < len(rows2) < n_all
+        assert all(r["im_id"] == 0 and r["scene_id"] == 1 for r in rows2)
+    finally:
+        rm.get_meta = real_get_meta

@@ -101,3 +101,36 @@ def test_view_sampler():
         np.testing.assert_allclose(np.linalg.norm(R.T @ t), 0.5, atol=1e-5)
     pts = icosphere_views(100)
     np.testing.assert_allclose(np.linalg.norm(pts, axis=1), 1.0, atol=1e-5)
+
+
+def test_mask_rle_roundtrip():
+    """COCO RLE codec (pure numpy maskApi port): mask -> compressed string ->
+    mask is exact; string is printable ASCII; uncompressed counts too."""
+    from gdrnet_tpu.utils.mask_utils import (
+        binary_mask_to_rle, rle2mask, rle_decode_string, rle_encode_string,
+        cocosegm2mask, mask2bbox_xyxy, get_edge)
+
+    rng = np.random.RandomState(4)
+    for _ in range(5):
+        m = (rng.rand(37, 53) > 0.7).astype(np.uint8)
+        rle = binary_mask_to_rle(m, compressed=True)
+        assert isinstance(rle["counts"], str)
+        assert all(48 <= ord(c) < 128 for c in rle["counts"])
+        np.testing.assert_array_equal(rle2mask(rle), m)
+        rle_u = binary_mask_to_rle(m, compressed=False)
+        np.testing.assert_array_equal(rle2mask(rle_u), m)
+        # counts-level roundtrip
+        assert rle_decode_string(rle_encode_string(rle_u["counts"])) == \
+            rle_u["counts"]
+
+    # empty + full masks
+    for m in (np.zeros((8, 8), np.uint8), np.ones((8, 8), np.uint8)):
+        np.testing.assert_array_equal(rle2mask(binary_mask_to_rle(m)), m)
+
+    # polygon -> mask (a filled square) and bbox/edge helpers
+    poly = [[2, 2, 10, 2, 10, 10, 2, 10]]
+    m = cocosegm2mask(poly, 16, 16)
+    assert m[5, 5] == 1 and m[0, 0] == 0
+    assert tuple(mask2bbox_xyxy(m)) == (2.0, 2.0, 10.0, 10.0)
+    e = get_edge(m, bw=1)
+    assert e.shape == (16, 16, 3) and e[..., 0].sum() > 0
