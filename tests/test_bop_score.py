@@ -158,3 +158,47 @@ def test_cus_and_cou_bb_proj(scored_setup):
     t_bad = rec["t"] + np.array([0.15, 0.0, 0.0], np.float32)
     assert cus(rec["R"], t_bad, rec["R"], rec["t"], rec["K"],
                verts, faces, **kw) > 0.5
+
+
+def test_match_poses_greedy_protocol():
+    """BOP greedy matching (pose_matching.py:9-91): score order, unique GT,
+    per-element thresholds, valid mask."""
+    from gdrnet_tpu.eval.pose_matching import match_poses
+
+    errs = [
+        {"est_id": 0, "score": 0.9, "errors": {0: [0.05], 1: [0.01]}},
+        {"est_id": 1, "score": 0.8, "errors": {0: [0.02], 1: [0.20]}},
+        {"est_id": 2, "score": 0.7, "errors": {0: [0.01], 1: [0.01]}},
+    ]
+    m = match_poses(errs, error_ths=[0.1])
+    # est 0 (best score) grabs gt 1 (its lowest error), est 1 then takes gt 0;
+    # est 2 finds both gts taken -> unmatched
+    got = {r["est_id"]: r["gt_id"] for r in m}
+    assert got == {0: 1, 1: 0}
+    assert m[0]["error_norm"] == [0.01 / 0.1]
+
+    # gt 1 invalid -> est 0 falls back to gt 0; est 1's remaining error 0.2
+    # exceeds the threshold
+    m2 = match_poses(errs, error_ths=[0.1], gt_valid_mask={0: True, 1: False})
+    assert {r["est_id"]: r["gt_id"] for r in m2} == {0: 0}
+
+    # two-element threshold ("5deg 5cm"): both must pass
+    errs2 = [{"est_id": 0, "score": 1.0, "errors": {0: [4.0, 0.06]}}]
+    assert match_poses(errs2, error_ths=[5.0, 0.05]) == []
+    assert len(match_poses(errs2, error_ths=[5.0, 0.07])) == 1
+
+
+def test_localization_scores():
+    from gdrnet_tpu.eval.pose_matching import calc_localization_scores
+
+    matches = [
+        {"scene_id": 1, "im_id": 0, "obj_id": 5, "valid": True, "est_id": 0},
+        {"scene_id": 1, "im_id": 1, "obj_id": 5, "valid": True, "est_id": -1},
+        {"scene_id": 2, "im_id": 0, "obj_id": 7, "valid": True, "est_id": 3},
+        {"scene_id": 2, "im_id": 0, "obj_id": 7, "valid": False, "est_id": -1},
+    ]
+    s = calc_localization_scores([1, 2], [5, 7], matches, n_top=1)
+    assert s["recall"] == pytest.approx(2 / 3)
+    assert s["obj_recalls"][5] == pytest.approx(0.5)
+    assert s["obj_recalls"][7] == pytest.approx(1.0)
+    assert s["scene_recalls"][1] == pytest.approx(0.5)
