@@ -92,7 +92,8 @@ def device_roi_pipeline(
     M_out = affine_params_batch(centers, scales, out_res, inv=True)
 
     roi_img = warp_affine_batch(images.astype(jnp.float32), M_in,
-                                (input_res, input_res), interp="bilinear")
+                                (input_res, input_res), interp="bilinear",
+                                axis_aligned=True)  # DZI never rotates
     roi_img = (roi_img - pixel_mean) / pixel_std
 
     nearest = lambda t: warp_affine_batch(t, M_out, (out_res, out_res),

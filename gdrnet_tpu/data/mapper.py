@@ -445,7 +445,7 @@ class GDRNDeviceTestMapper(GDRNTestMapper):
             M = affine_params_batch(centers, scales, input_res, inv=True)
             per_roi = images_u8[idx].astype(jnp.float32)
             roi = warp_affine_batch(per_roi, M, (input_res, input_res),
-                                    interp="bilinear")
+                                    interp="bilinear", axis_aligned=True)
             return (roi - mean) / std
 
         return warp

@@ -132,19 +132,55 @@ def _warp_one(img: jnp.ndarray, M_inv: jnp.ndarray, out_hw: tuple[int, int],
 
 
 def warp_affine_batch(imgs: jnp.ndarray, M_inv: jnp.ndarray, out_hw: tuple[int, int],
-                      interp: str = "bilinear") -> jnp.ndarray:
+                      interp: str = "bilinear",
+                      axis_aligned: bool = False) -> jnp.ndarray:
     """Batched inverse-map affine warp: imgs [B, H, W, C], M_inv [B, 2, 3]
     (dst->src), returns [B, oh, ow, C]. Device-side replacement for per-ROI
-    cv2.warpAffine (data_utils.crop_resize_by_warp_affine:80-93)."""
+    cv2.warpAffine (data_utils.crop_resize_by_warp_affine:80-93).
+
+    axis_aligned=True asserts M_inv has zero off-diagonals (every crop in the
+    pipeline: DZI/test ROIs never rotate) and routes bilinear through the
+    separable MXU formulation — two interpolation matmuls instead of 4
+    gathers, ~100x faster on TPU for 256^2 crops from full frames (gathers
+    don't vectorize on the VPU; see docs/performance.md)."""
+    if axis_aligned and interp == "bilinear":
+        return _warp_separable_batch(imgs, M_inv, out_hw)
     return jax.vmap(lambda im, m: _warp_one(im, m, out_hw, interp))(imgs, M_inv)
+
+
+def _interp_matrix(scale: jnp.ndarray, offset: jnp.ndarray, out_n: int,
+                   src_n: int) -> jnp.ndarray:
+    """[B, out_n, src_n] bilinear sampling matrix for s = scale*o + offset
+    per batch row; out-of-range taps get weight 0 (cv2 borderValue=0)."""
+    o = jnp.arange(out_n, dtype=jnp.float32)
+    s = scale[:, None] * o[None, :] + offset[:, None]          # [B, out_n]
+    lo = jnp.floor(s)
+    w = (s - lo).astype(jnp.float32)
+    lo_i = lo.astype(jnp.int32)
+    # one_hot yields all-zero rows for out-of-range indices
+    m = (jax.nn.one_hot(lo_i, src_n, dtype=jnp.float32) * (1.0 - w)[..., None]
+         + jax.nn.one_hot(lo_i + 1, src_n, dtype=jnp.float32) * w[..., None])
+    return m
+
+
+def _warp_separable_batch(imgs: jnp.ndarray, M_inv: jnp.ndarray,
+                          out_hw: tuple[int, int]) -> jnp.ndarray:
+    oh, ow = out_hw
+    B, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+    R = _interp_matrix(M_inv[:, 1, 1], M_inv[:, 1, 2], oh, H)  # rows:  [B,oh,H]
+    C = _interp_matrix(M_inv[:, 0, 0], M_inv[:, 0, 2], ow, W)  # cols:  [B,ow,W]
+    tmp = jnp.einsum("boh,bhwc->bowc", R, imgs.astype(jnp.float32),
+                     precision="highest")
+    return jnp.einsum("bowc,bpw->bopc", tmp, C, precision="highest")
 
 
 def crop_resize_batch(imgs: jnp.ndarray, centers: jnp.ndarray, scales: jnp.ndarray,
                       out_size: int, interp: str = "bilinear") -> jnp.ndarray:
     """Crop square ROIs (centers [B, 2], scales [B]) from imgs [B, H, W, C]
-    and resize to out_size — one fused gather under jit."""
+    and resize to out_size (no rotation -> separable MXU path for bilinear)."""
     M_inv = affine_params_batch(centers, scales, out_size, inv=True)
-    return warp_affine_batch(imgs, M_inv, (out_size, out_size), interp=interp)
+    return warp_affine_batch(imgs, M_inv, (out_size, out_size), interp=interp,
+                             axis_aligned=True)
 
 
 def crop_resize_from_single_image(img: jnp.ndarray, centers: jnp.ndarray,
