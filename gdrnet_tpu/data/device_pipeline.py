@@ -97,7 +97,7 @@ def device_roi_pipeline(
     roi_img = (roi_img - pixel_mean) / pixel_std
 
     nearest = lambda t: warp_affine_batch(t, M_out, (out_res, out_res),
-                                          interp="nearest")
+                                          interp="nearest", axis_aligned=True)
     roi_xyz = nearest(xyz)
     roi_mv = nearest(mask_visib[..., None])[..., 0]
     roi_mt = nearest(mask_trunc[..., None])[..., 0]

@@ -143,32 +143,37 @@ def warp_affine_batch(imgs: jnp.ndarray, M_inv: jnp.ndarray, out_hw: tuple[int, 
     separable MXU formulation — two interpolation matmuls instead of 4
     gathers, ~100x faster on TPU for 256^2 crops from full frames (gathers
     don't vectorize on the VPU; see docs/performance.md)."""
-    if axis_aligned and interp == "bilinear":
-        return _warp_separable_batch(imgs, M_inv, out_hw)
+    if axis_aligned:
+        return _warp_separable_batch(imgs, M_inv, out_hw, interp)
     return jax.vmap(lambda im, m: _warp_one(im, m, out_hw, interp))(imgs, M_inv)
 
 
 def _interp_matrix(scale: jnp.ndarray, offset: jnp.ndarray, out_n: int,
-                   src_n: int) -> jnp.ndarray:
-    """[B, out_n, src_n] bilinear sampling matrix for s = scale*o + offset
-    per batch row; out-of-range taps get weight 0 (cv2 borderValue=0)."""
+                   src_n: int, interp: str) -> jnp.ndarray:
+    """[B, out_n, src_n] sampling matrix for s = scale*o + offset per batch
+    row; out-of-range taps get weight 0 (cv2 borderValue=0). bilinear = two
+    weighted taps; nearest = one exact selection tap (round, like the gather
+    path)."""
     o = jnp.arange(out_n, dtype=jnp.float32)
     s = scale[:, None] * o[None, :] + offset[:, None]          # [B, out_n]
+    if interp == "nearest":
+        # one_hot yields all-zero rows for out-of-range indices
+        return jax.nn.one_hot(jnp.round(s).astype(jnp.int32), src_n,
+                              dtype=jnp.float32)
     lo = jnp.floor(s)
     w = (s - lo).astype(jnp.float32)
     lo_i = lo.astype(jnp.int32)
-    # one_hot yields all-zero rows for out-of-range indices
-    m = (jax.nn.one_hot(lo_i, src_n, dtype=jnp.float32) * (1.0 - w)[..., None]
-         + jax.nn.one_hot(lo_i + 1, src_n, dtype=jnp.float32) * w[..., None])
-    return m
+    return (jax.nn.one_hot(lo_i, src_n, dtype=jnp.float32) * (1.0 - w)[..., None]
+            + jax.nn.one_hot(lo_i + 1, src_n, dtype=jnp.float32) * w[..., None])
 
 
 def _warp_separable_batch(imgs: jnp.ndarray, M_inv: jnp.ndarray,
-                          out_hw: tuple[int, int]) -> jnp.ndarray:
+                          out_hw: tuple[int, int],
+                          interp: str = "bilinear") -> jnp.ndarray:
     oh, ow = out_hw
     B, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
-    R = _interp_matrix(M_inv[:, 1, 1], M_inv[:, 1, 2], oh, H)  # rows:  [B,oh,H]
-    C = _interp_matrix(M_inv[:, 0, 0], M_inv[:, 0, 2], ow, W)  # cols:  [B,ow,W]
+    R = _interp_matrix(M_inv[:, 1, 1], M_inv[:, 1, 2], oh, H, interp)
+    C = _interp_matrix(M_inv[:, 0, 0], M_inv[:, 0, 2], ow, W, interp)
     tmp = jnp.einsum("boh,bhwc->bowc", R, imgs.astype(jnp.float32),
                      precision="highest")
     return jnp.einsum("bowc,bpw->bopc", tmp, C, precision="highest")

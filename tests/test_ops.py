@@ -246,3 +246,19 @@ def test_warp_separable_matches_gather():
     np.testing.assert_allclose(s, g, atol=1e-3)
     # huge scale crops mostly out of bounds -> zeros in both paths
     assert (s[2] == 0).mean() > 0.1
+
+
+def test_warp_separable_nearest_exact():
+    """Nearest via selection matmul must be EXACT vs the gather path (region
+    labels / xyz GT depend on it)."""
+    from gdrnet_tpu.ops.warp import affine_params_batch, warp_affine_batch
+
+    rng = np.random.RandomState(6)
+    imgs = jnp.asarray(rng.rand(3, 40, 56, 3).astype(np.float32))
+    centers = jnp.asarray(rng.uniform(0, 60, (3, 2)).astype(np.float32))
+    scales = jnp.asarray(rng.uniform(10, 120, 3).astype(np.float32))
+    M = affine_params_batch(centers, scales, 16, inv=True)
+    g = np.asarray(warp_affine_batch(imgs, M, (16, 16), "nearest"))
+    s = np.asarray(warp_affine_batch(imgs, M, (16, 16), "nearest",
+                                     axis_aligned=True))
+    np.testing.assert_array_equal(s, g)
