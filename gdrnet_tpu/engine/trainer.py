@@ -77,6 +77,26 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
         cfg.OUTPUT_ROOT, cfg.EXP_NAME or "gdrn")
     logger = setup_logger(out_dir)
 
+    # preemption-safe exit: on SIGTERM/SIGINT finish the current iteration,
+    # checkpoint, and return cleanly so --resume restores the exact step (the
+    # reference has only crash-restart, SURVEY.md §5 "failure detection";
+    # TPU-pod preemptions make this a first-class path here). Installed at
+    # entry so signals during compile/data-warmup are caught too.
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_term(signum, frame):  # noqa: ARG001
+        preempted["flag"] = True
+        logger.warning(f"signal {signum}: checkpointing at next boundary")
+
+    prev_handlers = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers[sig] = signal.signal(sig, _on_term)
+        except ValueError:  # non-main thread
+            break
+
     meta, records, records2, models, mapper = build_train_objects(cfg, data_root)
 
     ims_per_batch = cfg.SOLVER.IMS_PER_BATCH
@@ -179,6 +199,13 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
 
     batch = batch_dev
     for it in range(start_iter, total_iters):
+        if preempted["flag"]:
+            ckpt.save(state, it)
+            ckpt.wait()
+            logger.warning(f"preempted: saved step {it}; resume with --resume")
+            for sig, h in prev_handlers.items():
+                signal.signal(sig, h)
+            return state, models
         step_rng = jax.random.fold_in(rng, it)
         t_step = time.perf_counter()
         state, metrics = train_step(state, batch, step_rng)
@@ -251,6 +278,8 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
                 state = state.replace(batch_stats=new_vars["batch_stats"])
             eval_fn(cfg, state, models)
 
+    for sig, h in prev_handlers.items():
+        signal.signal(sig, h)
     ckpt.save(state, total_iters)
     ckpt.wait()
     return state, models
