@@ -123,3 +123,78 @@ def test_gen_test_targets(tmp_path):
         assert all(r["im_id"] == 0 and r["scene_id"] == 1 for r in rows2)
     finally:
         rm.get_meta = real_get_meta
+
+
+def test_predict_cli(tmp_path):
+    """tools/predict.py: images + detections json + ckpt -> BOP pose CSV,
+    no GT needed (serving path)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from fixture_bop import build_fixture_dataset
+    from gdrnet_tpu.config import base_config
+    from gdrnet_tpu.data.bop import load_bop_scene_dicts
+    from gdrnet_tpu.data.synthetic import synthetic_roi_batch
+    from gdrnet_tpu.engine.checkpoint import CheckpointManager
+    from gdrnet_tpu.engine.train_state import create_train_state
+    from gdrnet_tpu.models import build_model
+    from gdrnet_tpu.solver import build_optimizer
+    import gdrnet_tpu.data.ref_meta as rm
+    import tools.predict as predict_tool
+
+    root = tmp_path / "ds"
+    meta = build_fixture_dataset(str(root), n_images=2, seed=13)
+    records = load_bop_scene_dicts(meta, "test")
+
+    # config file matching the fixture shapes
+    cfg_path = tmp_path / "cfg.py"
+    cfg_path.write_text(
+        "MODEL = dict(CDPN=dict(BACKBONE=dict(NUM_LAYERS=18, INPUT_RES=64, "
+        "OUTPUT_RES=16), ROT_HEAD=dict(NUM_CLASSES=2, NUM_REGIONS=4)))\n"
+        "TEST = dict(ROI_BATCH_SIZE=4)\n")
+
+    # untrained ckpt (predict only needs weights to exist)
+    cfg = base_config()
+    cfg.MODEL.CDPN.BACKBONE.NUM_LAYERS = 18
+    cfg.MODEL.CDPN.BACKBONE.INPUT_RES = 64
+    cfg.MODEL.CDPN.BACKBONE.OUTPUT_RES = 16
+    cfg.MODEL.CDPN.ROT_HEAD.NUM_CLASSES = 2
+    cfg.MODEL.CDPN.ROT_HEAD.NUM_REGIONS = 4
+    model = build_model(cfg)
+    sample = {k: jnp.asarray(v) for k, v in synthetic_roi_batch(
+        batch_size=2, input_res=64, out_res=16).items()}
+    state = create_train_state(model, build_optimizer(cfg), sample,
+                               jax.random.PRNGKey(0))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(state, 1)
+    mgr.wait()
+
+    # detections json from GT boxes (xywh)
+    dets = {}
+    for r in records:
+        x, y, w, h = r["bbox_visib"]
+        dets.setdefault(f"{r['scene_id']}/{r['im_id']}", []).append(
+            {"obj_id": int(r["obj_id"]), "bbox_est": [float(x), float(y),
+             float(w), float(h)], "score": 0.9})
+    dets_path = tmp_path / "dets.json"
+    dets_path.write_text(json.dumps(dets))
+
+    out_csv = str(tmp_path / "poses.csv")
+    real_get_meta = rm.get_meta
+    rm.get_meta = lambda name, data_root=None: meta
+    try:
+        predict_tool.main([
+            "--config-file", str(cfg_path), "--ckpt", str(tmp_path / "ckpt"),
+            "--dataset", "fixture", "--dets", str(dets_path),
+            "--image-root", osp.join(str(root), "test"),
+            "--out", out_csv])
+    finally:
+        rm.get_meta = real_get_meta
+
+    from gdrnet_tpu.eval import load_bop_results
+    rows = load_bop_results(out_csv)
+    assert len(rows) == len(records)
+    for r in rows:
+        assert np.all(np.isfinite(r["R"])) and np.all(np.isfinite(r["t"]))
