@@ -40,12 +40,16 @@ def _pad_faces(faces: np.ndarray, chunk: int) -> np.ndarray:
 def rasterize_attr(verts: jnp.ndarray, attrs: jnp.ndarray, faces: jnp.ndarray,
                    K: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
                    *, height: int, width: int, chunk: int = 512,
-                   z_near: float = 1e-4):
+                   z_near: float = 1e-4, origin=None):
     """Render a mesh under pose (R, t) through intrinsics K.
 
     verts [V,3] object-frame vertices; attrs [V,C] per-vertex attributes
     (e.g. the vertices themselves for XYZ maps); faces [F,3] int32 (pad to a
     multiple of `chunk` with _pad_faces for best compile reuse).
+
+    origin: optional traced (ox, oy) pixel offset — the [height, width]
+    output then covers image pixels [oy:oy+height, ox:ox+width] (windowed
+    rendering around the projected object; see render_xyz_roi).
 
     Returns (depth [H,W] f32, attr_map [H,W,C] f32); depth==0 means no hit.
     """
@@ -61,6 +65,9 @@ def rasterize_attr(verts: jnp.ndarray, attrs: jnp.ndarray, faces: jnp.ndarray,
     yy, xx = jnp.mgrid[0:height, 0:width]
     px = xx.reshape(-1).astype(jnp.float32)  # [P]
     py = yy.reshape(-1).astype(jnp.float32)
+    if origin is not None:
+        px = px + origin[0]
+        py = py + origin[1]
 
     inv_z = 1.0 / jnp.maximum(z, z_near)           # [V]
     attrs_over_z = attrs * inv_z[:, None]          # [V, C]
@@ -254,3 +261,51 @@ def render_phong_many(verts, faces, K, Rs, ts, height: int, width: int,
     depths, rgbs = zip(*outs)
     return np.stack([np.asarray(d) for d in depths]), \
         np.stack([np.asarray(c) for c in rgbs])
+
+
+def render_xyz_roi(verts, faces, K, R, t, height: int, width: int,
+                   tile: int = 256, chunk: int = 512):
+    """Windowed XYZ render: rasterize only a [tile, tile] pixel window around
+    the projected object instead of the full frame — exact same sampling
+    (integer pixel centers), ~(H*W)/tile^2 less work. The offline GT tool
+    renders one object per frame whose silhouette covers a few % of VGA
+    (tools/lm/lm_pbr_1_gen_xyz_crop.py renders full frames with GL and crops
+    after; here the crop IS the render).
+
+    Returns (depth [tile,tile], xyz [tile,tile,3], (ox, oy) int window
+    origin). Pixels outside the image bounds render (validly) but callers
+    pasting into a frame should clip. If the projection exceeds `tile`,
+    raises — pick a bigger tile (the tool ladders 128/256/512/full).
+    """
+    verts32 = np.asarray(verts, np.float32)
+    R32 = np.asarray(R, np.float32)
+    t32 = np.asarray(t, np.float32)
+    K32 = np.asarray(K, np.float32)
+    cam = verts32 @ R32.T + t32
+    uv = cam @ K32.T
+    u = uv[:, 0] / np.maximum(uv[:, 2], 1e-4)
+    v = uv[:, 1] / np.maximum(uv[:, 2], 1e-4)
+    x1 = int(np.clip(np.floor(u.min()) - 1, 0, max(width - tile, 0)))
+    y1 = int(np.clip(np.floor(v.min()) - 1, 0, max(height - tile, 0)))
+    w_need = float(u.max()) - x1 + 2
+    h_need = float(v.max()) - y1 + 2
+    if w_need > tile or h_need > tile:
+        raise ValueError(
+            f"projection {w_need:.0f}x{h_need:.0f} exceeds tile {tile}")
+    faces_p = _pad_faces(np.asarray(faces), chunk)
+    depth, xyz = rasterize_attr(
+        jnp.asarray(verts32), jnp.asarray(verts32), jnp.asarray(faces_p),
+        jnp.asarray(K32), jnp.asarray(R32), jnp.asarray(t32),
+        height=tile, width=tile, chunk=chunk,
+        origin=(jnp.float32(x1), jnp.float32(y1)))
+    return depth, xyz, (x1, y1)
+
+
+def paste_window(full: np.ndarray, win: np.ndarray, origin) -> np.ndarray:
+    """Paste a rendered window into a full frame (clipping image bounds)."""
+    ox, oy = origin
+    h, w = win.shape[:2]
+    H, W = full.shape[:2]
+    y2, x2 = min(oy + h, H), min(ox + w, W)
+    full[oy:y2, ox:x2] = np.asarray(win)[:y2 - oy, :x2 - ox]
+    return full

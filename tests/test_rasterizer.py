@@ -140,3 +140,25 @@ def test_render_phong_many_shapes():
     # nearer pose covers more pixels
     assert (ds[0] > 0).sum() > (ds[1] > 0).sum()
     assert np.isfinite(cs).all()
+
+
+def test_render_xyz_roi_matches_full():
+    """Windowed render is bitwise-identical to the full frame (same integer
+    pixel centers), origin offsets the crop into image coordinates."""
+    from gdrnet_tpu.ops.rasterizer import (
+        render_xyz, render_xyz_roi, paste_window)
+
+    v, f = make_cube(0.05)
+    R = np.eye(3, dtype=np.float32)
+    t = np.array([0.02, -0.01, 0.5], np.float32)
+    d_full, x_full = render_xyz(v, f, K, R, t, height=96, width=128)
+    d_roi, x_roi, org = render_xyz_roi(v, f, K, R, t, height=96, width=128,
+                                       tile=192)
+    # tile larger than the image clamps origin to 0; compare the overlap
+    d_p = paste_window(np.zeros((96, 128), np.float32), np.asarray(d_roi), org)
+    x_p = paste_window(np.zeros((96, 128, 3), np.float32), np.asarray(x_roi), org)
+    np.testing.assert_array_equal(d_p, np.asarray(d_full))
+    np.testing.assert_array_equal(x_p, np.asarray(x_full))
+
+    with pytest.raises(ValueError):
+        render_xyz_roi(v, f, K, R, t, height=96, width=128, tile=32)

@@ -28,9 +28,35 @@ from gdrnet_tpu.data.ply import load_ply  # noqa: E402
 from gdrnet_tpu.data.ref_meta import get_meta  # noqa: E402
 
 
+def _render_crop(verts, faces, K, R, t, height, width, chunk):
+    """Windowed render ladder (128 -> 256 -> full frame): rasterizing only a
+    tile around the projection is ~8x faster on chip and bitwise-identical
+    (ops/rasterizer.render_xyz_roi); fall back to the full frame when the
+    object projects larger than the biggest tile."""
+    from gdrnet_tpu.ops.rasterizer import (
+        render_xyz, render_xyz_roi, xyz_crop_from_render)
+
+    for tile in (128, 256):
+        if tile > min(height, width):
+            break
+        try:
+            depth, xyz, (ox, oy) = render_xyz_roi(
+                verts, faces, K, R, t, height=height, width=width,
+                tile=tile, chunk=chunk)
+        except ValueError:
+            continue
+        info = xyz_crop_from_render(np.asarray(depth), np.asarray(xyz))
+        if info["xyz_crop"].size:  # empty renders keep the (0,0,0,0) marker
+            x1, y1, x2, y2 = info["xyxy"]
+            info["xyxy"] = (x1 + ox, y1 + oy, x2 + ox, y2 + oy)
+        return info
+    depth, xyz = render_xyz(verts, faces, K, R, t, height=height,
+                            width=width, chunk=chunk)
+    return xyz_crop_from_render(np.asarray(depth), np.asarray(xyz))
+
+
 def gen_split_xyz(meta, split: str, scenes: list[int] | None = None,
                   overwrite: bool = False, chunk: int = 2048) -> int:
-    from gdrnet_tpu.ops.rasterizer import render_xyz, xyz_crop_from_render
 
     split_dir = osp.join(meta.data_root, split)
     if scenes is None:
@@ -61,10 +87,9 @@ def gen_split_xyz(meta, split: str, scenes: list[int] | None = None,
                 verts, faces = meshes[obj_id]
                 R = np.asarray(inst["cam_R_m2c"], np.float32).reshape(3, 3)
                 t = np.asarray(inst["cam_t_m2c"], np.float32) / 1000.0
-                depth, xyz = render_xyz(verts, faces, K, R, t,
-                                        height=meta.height, width=meta.width,
-                                        chunk=chunk)
-                info = xyz_crop_from_render(np.asarray(depth), np.asarray(xyz))
+                info = _render_crop(verts, faces, K, R, t,
+                                    height=meta.height, width=meta.width,
+                                    chunk=chunk)
                 with open(out_path, "wb") as f:
                     pickle.dump(info, f)
                 n_done += 1
