@@ -18,7 +18,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gdrnet_tpu.ops.rasterizer import render_xyz
+from gdrnet_tpu.ops.rasterizer import paste_window, render_xyz, render_xyz_roi
+
+
+def _render_depth_fast(verts, faces, K, R, t, h: int, w: int) -> jnp.ndarray:
+    """Full-frame depth via a windowed render pasted at its origin (~8x
+    cheaper; bitwise-identical — see ops.rasterizer.render_xyz_roi). Falls
+    back to the full rasterization when the projection exceeds the ladder."""
+    for tile in (128, 256):
+        if tile > min(h, w):
+            break
+        try:
+            d_win, _, org = render_xyz_roi(verts, faces, K, R, t,
+                                           height=h, width=w, tile=tile)
+        except ValueError:
+            continue
+        return jnp.asarray(paste_window(
+            np.zeros((h, w), np.float32), np.asarray(d_win), org))
+    depth, _ = render_xyz(verts, faces, K, R, t, height=h, width=w)
+    return depth
 
 
 @partial(jax.jit, static_argnames=())
@@ -84,8 +102,8 @@ def vsd(R_est, t_est, R_gt, t_gt, depth_test, K, verts, faces,
     if taus is None:
         taus = np.arange(0.05, 0.51, 0.05)
     h, w = depth_test.shape
-    depth_est, _ = render_xyz(verts, faces, K, R_est, t_est, height=h, width=w)
-    depth_gt, _ = render_xyz(verts, faces, K, R_gt, t_gt, height=h, width=w)
+    depth_est = _render_depth_fast(verts, faces, K, R_est, t_est, h, w)
+    depth_gt = _render_depth_fast(verts, faces, K, R_gt, t_gt, h, w)
     return np.asarray(vsd_from_depths(
         depth_est, depth_gt, jnp.asarray(depth_test, jnp.float32),
         jnp.asarray(K, jnp.float32), delta, np.asarray(taus, np.float32),
