@@ -43,13 +43,34 @@ cfg.PARALLEL.DTYPE = "bfloat16"
 cfg.INPUT.DZI_TYPE = "none"  # train crops == eval crops (overfit check)
 
 TOTAL = 800
-mapper = GDRNTrainMapper(cfg, models)
 from gdrnet_tpu.data.mapper import collate
 # the whole fixture dataset = 12 ROI samples: pre-map with fixed DZI per
 # sample, upload ONCE (the tunnel's host->device bandwidth dominates
-# otherwise), train on the device-resident batch
-samples = [mapper(rec, np.random.RandomState(i)) for i, rec in enumerate(records)]
-batch = {k: jnp.asarray(v) for k, v in collate(samples).items()}
+# otherwise), train on the device-resident batch. With --device-preprocess
+# the raw frames go up instead and the GT tensors come out of the XLA
+# pipeline (data/device_pipeline.py) — same convergence expected.
+if "--device-preprocess" in sys.argv:
+    from gdrnet_tpu.data.mapper import GDRNRawTrainMapper
+    from gdrnet_tpu.data.device_pipeline import device_train_batch
+
+    raw_mapper = GDRNRawTrainMapper(cfg, models)
+    raw = collate([raw_mapper(rec, np.random.RandomState(i))
+                   for i, rec in enumerate(records)])
+    batch = device_train_batch(
+        jax.random.PRNGKey(3), {k: jnp.asarray(v) for k, v in raw.items()},
+        jnp.asarray(models.points_stack), jnp.asarray(models.extents_stack),
+        jnp.asarray(models.fps_stack), jnp.asarray(models.sym_rots_stack),
+        jnp.asarray(models.sym_mask_stack),
+        jnp.asarray(cfg.MODEL.PIXEL_MEAN, jnp.float32),
+        jnp.asarray(cfg.MODEL.PIXEL_STD, jnp.float32),
+        dzi_type="none", pad_scale=cfg.INPUT.DZI_PAD_SCALE)
+    batch = jax.device_put(batch)
+    print("training through the DEVICE preprocessing pipeline", flush=True)
+else:
+    mapper = GDRNTrainMapper(cfg, models)
+    samples = [mapper(rec, np.random.RandomState(i))
+               for i, rec in enumerate(records)]
+    batch = {k: jnp.asarray(v) for k, v in collate(samples).items()}
 model = build_model(cfg)
 sched = build_lr_schedule(cfg, 1e-3, TOTAL)
 opt = build_optimizer(cfg, lr_schedule=sched)
