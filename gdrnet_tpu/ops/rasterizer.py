@@ -321,3 +321,73 @@ def paste_window(full: np.ndarray, win: np.ndarray, origin) -> np.ndarray:
     y2, x2 = min(oy + h, H), min(ox + w, W)
     full[oy:y2, ox:x2] = np.asarray(win)[:y2 - oy, :x2 - ox]
     return full
+
+
+def render_xyz_roi_many(verts, faces, Ks, Rs, ts, height: int, width: int,
+                        tile: int = 128, batch: int = 16, chunk: int = 1024,
+                        on_misfit: str = "raise"):
+    """Batched windowed XYZ renders of ONE mesh under many poses — the
+    offline GT generator's hot loop (the reference renders sequentially with
+    GL, lm_pbr_1_gen_xyz_crop.py:98-207). vmaps the Pallas z-buffer kernel
+    (XLA scan off-TPU) over `batch` poses at a time: ~5x the sequential
+    windowed render, ~90x the original full-frame path on v5e.
+
+    Ks/Rs/ts: [N, 3, 3], [N, 3, 3], [N, 3]. Returns a list of N
+    (depth [tile, tile] np, xyz [tile, tile, 3] np, (ox, oy)) tuples.
+    Poses whose projection exceeds `tile`: on_misfit="raise" raises
+    ValueError; "skip" instead returns (outputs, fitted_indices) with
+    outputs only for the poses that fit (callers ladder the rest to a
+    bigger tile / the full-frame path).
+    """
+    verts32 = np.asarray(verts, np.float32)
+    Ks = np.asarray(Ks, np.float32)
+    Rs = np.asarray(Rs, np.float32)
+    ts = np.asarray(ts, np.float32)
+    N = Rs.shape[0]
+
+    origins = np.zeros((N, 2), np.float32)
+    too_big = []
+    for i in range(N):
+        cam = verts32 @ Rs[i].T + ts[i]
+        uv = cam @ Ks[i].T
+        u = uv[:, 0] / np.maximum(uv[:, 2], 1e-4)
+        v = uv[:, 1] / np.maximum(uv[:, 2], 1e-4)
+        x1 = int(np.clip(np.floor(u.min()) - 1, 0, max(width - tile, 0)))
+        y1 = int(np.clip(np.floor(v.min()) - 1, 0, max(height - tile, 0)))
+        if (u.max() - x1 + 2 > tile) or (v.max() - y1 + 2 > tile):
+            too_big.append(i)
+        origins[i] = (x1, y1)
+    if too_big and on_misfit == "raise":
+        raise ValueError(f"poses exceed tile {tile}: {too_big}")
+    fitted = [i for i in range(N) if i not in set(too_big)]
+    Ks, Rs, ts, origins = Ks[fitted], Rs[fitted], ts[fitted], origins[fitted]
+    N = len(fitted)
+
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    faces_p = jnp.asarray(_pad_faces(np.asarray(faces), 1024 if on_tpu else chunk))
+    vj = jnp.asarray(verts32)
+
+    def one(K, R, t, org):
+        if on_tpu:
+            from gdrnet_tpu.ops.pallas_kernels import rasterize_xyz_pallas
+
+            return rasterize_xyz_pallas(vj, faces_p, K, R, t, height=tile,
+                                        width=tile, origin=(org[0], org[1]))
+        return rasterize_attr(vj, vj, faces_p, K, R, t, height=tile,
+                              width=tile, chunk=chunk,
+                              origin=(org[0], org[1]))
+
+    batched = jax.jit(jax.vmap(one))
+    out = []
+    for s in range(0, N, batch):
+        idx = np.arange(s, min(s + batch, N))
+        pad = batch - len(idx)
+        sel = np.concatenate([idx, np.repeat(idx[-1:], pad)])
+        d, x = batched(jnp.asarray(Ks[sel]), jnp.asarray(Rs[sel]),
+                       jnp.asarray(ts[sel]), jnp.asarray(origins[sel]))
+        d, x = np.asarray(d), np.asarray(x)
+        for k, i in enumerate(idx):
+            out.append((d[k], x[k], (int(origins[i][0]), int(origins[i][1]))))
+    if on_misfit == "skip":
+        return out, fitted
+    return out

@@ -58,6 +58,9 @@ def _render_crop(verts, faces, K, R, t, height, width, chunk):
 def gen_split_xyz(meta, split: str, scenes: list[int] | None = None,
                   overwrite: bool = False, chunk: int = 2048) -> int:
 
+    from gdrnet_tpu.ops.rasterizer import (
+        render_xyz_roi_many, xyz_crop_from_render)
+
     split_dir = osp.join(meta.data_root, split)
     if scenes is None:
         scenes = sorted(int(d) for d in os.listdir(split_dir)
@@ -72,6 +75,9 @@ def gen_split_xyz(meta, split: str, scenes: list[int] | None = None,
             cams = json.load(f)
         out_dir = osp.join(scene_dir, "xyz_crop")
         os.makedirs(out_dir, exist_ok=True)
+
+        # collect pending instances grouped by object -> batched renders
+        pending: dict[int, list] = {}
         for im_id_s, insts in sorted(gt.items(), key=lambda kv: int(kv[0])):
             im_id = int(im_id_s)
             K = np.asarray(cams[im_id_s]["cam_K"], np.float32).reshape(3, 3)
@@ -80,13 +86,41 @@ def gen_split_xyz(meta, split: str, scenes: list[int] | None = None,
                 if osp.exists(out_path) and not overwrite:
                     continue
                 obj_id = int(inst["obj_id"])
-                if obj_id not in meshes:
-                    ply = load_ply(meta.model_path(obj_id),
-                                   vertex_scale=meta.vertex_scale)
-                    meshes[obj_id] = (ply["pts"], ply["faces"])
-                verts, faces = meshes[obj_id]
                 R = np.asarray(inst["cam_R_m2c"], np.float32).reshape(3, 3)
                 t = np.asarray(inst["cam_t_m2c"], np.float32) / 1000.0
+                pending.setdefault(obj_id, []).append((out_path, K, R, t))
+
+        for obj_id, items in pending.items():
+            if obj_id not in meshes:
+                ply = load_ply(meta.model_path(obj_id),
+                               vertex_scale=meta.vertex_scale)
+                meshes[obj_id] = (ply["pts"], ply["faces"])
+            verts, faces = meshes[obj_id]
+            # tile ladder per object: batch everything that fits 128, then
+            # 256, then the sequential full-frame fallback for the rest
+            remaining = list(range(len(items)))
+            for tile in (128, 256):
+                if not remaining or tile > min(meta.height, meta.width):
+                    continue
+                Ks = np.stack([items[i][1] for i in remaining])
+                Rs = np.stack([items[i][2] for i in remaining])
+                ts = np.stack([items[i][3] for i in remaining])
+                outs, fitted = render_xyz_roi_many(
+                    verts, faces, Ks, Rs, ts, height=meta.height,
+                    width=meta.width, tile=tile, chunk=chunk,
+                    on_misfit="skip")
+                sel = [remaining[k] for k in fitted]
+                for (depth, xyz, (ox, oy)), i in zip(outs, sel):
+                    info = xyz_crop_from_render(depth, xyz)
+                    if info["xyz_crop"].size:
+                        x1, y1, x2, y2 = info["xyxy"]
+                        info["xyxy"] = (x1 + ox, y1 + oy, x2 + ox, y2 + oy)
+                    with open(items[i][0], "wb") as f:
+                        pickle.dump(info, f)
+                    n_done += 1
+                remaining = [i for i in remaining if i not in set(sel)]
+            for i in remaining:  # oversized projections: full-frame path
+                out_path, K, R, t = items[i]
                 info = _render_crop(verts, faces, K, R, t,
                                     height=meta.height, width=meta.width,
                                     chunk=chunk)
