@@ -201,7 +201,8 @@ def render_phong(verts, faces, K, R, t, height: int, width: int,
                  light_pos=(400.0, 400.0, 400.0),
                  ambient: float = 0.4, diffuse: float = 0.8,
                  specular: float = 0.3, chunk: int = 512,
-                 normals: np.ndarray | None = None):
+                 normals: np.ndarray | None = None,
+                 origin=None):
     """Phong-shaded RGB render + depth — the reference's EGL renderer
     (lib/meshrenderer/meshrenderer_phong.py:125-208 with the directional
     Phong model of shader/cad_shader.frag:16-39: rgb = ambient*mat +
@@ -210,6 +211,9 @@ def render_phong(verts, faces, K, R, t, height: int, width: int,
 
     colors: optional [V, 3] per-vertex material (PLY colour); default the
     CAD material constant. Returns (depth [H,W], rgb [H,W,3] in [0,1]).
+    origin: optional (ox, oy) pixel offset for windowed rendering — the
+    [height, width] output then covers image pixels [oy:oy+height,
+    ox:ox+width] (see rasterize_attr).
     """
     normals = vertex_normals(verts, faces) if normals is None else normals
     verts32 = np.asarray(verts, np.float32)
@@ -224,7 +228,9 @@ def render_phong(verts, faces, K, R, t, height: int, width: int,
     depth, amap = rasterize_attr(
         jnp.asarray(verts32), attrs, jnp.asarray(faces_p),
         jnp.asarray(K, jnp.float32), jnp.asarray(R32), jnp.asarray(t32),
-        height=height, width=width, chunk=chunk)
+        height=height, width=width, chunk=chunk,
+        origin=None if origin is None else (jnp.float32(origin[0]),
+                                            jnp.float32(origin[1])))
 
     def _unit(x):
         return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
@@ -391,3 +397,154 @@ def render_xyz_roi_many(verts, faces, Ks, Rs, ts, height: int, width: int,
     if on_misfit == "skip":
         return out, fitted
     return out
+
+
+# 3D bounding-box edge corners in the reference line shader's order
+# (lib/meshrenderer/shader/line.vs:18-43: 12 instanced GL_LINES between
+# min/max-corner combinations). Each row indexes the corner bit pattern
+# (bx, by, bz): 0 -> vert_min component, 1 -> vert_max component.
+_BOX_EDGES = np.array([
+    [(0, 0, 0), (0, 0, 1)], [(0, 0, 0), (0, 1, 0)], [(0, 0, 0), (1, 0, 0)],
+    [(0, 0, 1), (0, 1, 1)], [(0, 0, 1), (1, 0, 1)], [(0, 1, 0), (0, 1, 1)],
+    [(0, 1, 0), (1, 1, 0)], [(1, 0, 0), (1, 1, 0)], [(1, 0, 0), (1, 0, 1)],
+    [(1, 1, 1), (0, 1, 1)], [(1, 1, 1), (1, 0, 1)], [(1, 1, 1), (1, 1, 0)],
+], np.int32)  # [12, 2, 3]
+
+
+@partial(jax.jit, static_argnames=("height", "width"))
+def _rasterize_segments(p0, p1, valid, height: int, width: int,
+                        half_width):
+    """Distance-to-segment line rasterizer: pixels within `half_width` of
+    any valid projected segment [p0_i, p1_i] are lit. Returns [H, W] bool."""
+    yy, xx = jnp.mgrid[0:height, 0:width]
+    p = jnp.stack([xx.reshape(-1), yy.reshape(-1)], -1).astype(jnp.float32)
+    d = p1 - p0                                       # [S, 2]
+    len2 = jnp.maximum(jnp.sum(d * d, -1), 1e-12)     # [S]
+    rel = p[:, None, :] - p0[None]                    # [P, S, 2]
+    tt = jnp.clip(jnp.sum(rel * d[None], -1) / len2[None], 0.0, 1.0)
+    near = p0[None] + tt[..., None] * d[None]         # [P, S, 2]
+    dist = jnp.linalg.norm(p[:, None] - near, axis=-1)
+    dist = jnp.where(valid[None], dist, jnp.inf)
+    return (jnp.min(dist, axis=1) <= half_width).reshape(height, width)
+
+
+def render_box3d(vert_min, vert_max, K, R, t, height: int, width: int,
+                 line_width: float = 1.0, color=(0.0, 1.0, 0.0),
+                 z_near: float = 1e-4):
+    """Render the 12 edges of an object's 3D bounding box under pose (R, t)
+    — the reference's GL box3d edge renderer (lib/meshrenderer/
+    box3d_renderer.py:120-148 drawing 12 instanced GL_LINES between the
+    min/max mesh corners, shader/line.vs, all edges colored (0,1,0)).
+
+    vert_min/vert_max: [3] object-frame AABB corners (the reference passes
+    per-object min_vert/max_vert uniforms). Returns rgb [H, W, 3] f32 in
+    [0, 1], black background — same layout as the GL readback.
+    """
+    lo = np.asarray(vert_min, np.float32)
+    hi = np.asarray(vert_max, np.float32)
+    corners = np.where(_BOX_EDGES.reshape(-1, 3) == 1, hi, lo)  # [24, 3]
+    cam = corners @ np.asarray(R, np.float32).T + np.asarray(t, np.float32)
+    z = cam[:, 2]
+    uv = cam @ np.asarray(K, np.float32).T
+    pts = uv[:, :2] / np.maximum(uv[:, 2:3], z_near)            # [24, 2]
+    p0, p1 = pts[0::2], pts[1::2]
+    valid = (z[0::2] > z_near) & (z[1::2] > z_near)
+    mask = _rasterize_segments(
+        jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(valid),
+        height=height, width=width,
+        half_width=jnp.float32(max(line_width, 1.0) / 2.0))
+    rgb = jnp.where(mask[..., None],
+                    jnp.asarray(color, jnp.float32)[None, None], 0.0)
+    return rgb
+
+
+def _phong_window(verts, faces, K, R, t, height, width,
+                  tiles=(128, 256, 512), **kwargs):
+    """Windowed Phong render laddering tile sizes; falls back to the full
+    frame if the projection exceeds every tile. Returns (depth, rgb,
+    (ox, oy)) with window-sized outputs."""
+    verts32 = np.asarray(verts, np.float32)
+    cam = verts32 @ np.asarray(R, np.float32).T + np.asarray(t, np.float32)
+    uv = cam @ np.asarray(K, np.float32).T
+    u = uv[:, 0] / np.maximum(uv[:, 2], 1e-4)
+    v = uv[:, 1] / np.maximum(uv[:, 2], 1e-4)
+    for tile in tiles:
+        if tile >= max(height, width):
+            break
+        x1 = int(np.clip(np.floor(u.min()) - 1, 0, max(width - tile, 0)))
+        y1 = int(np.clip(np.floor(v.min()) - 1, 0, max(height - tile, 0)))
+        if (u.max() - x1 + 2 <= tile) and (v.max() - y1 + 2 <= tile):
+            d, rgb = render_phong(verts, faces, K, R, t, tile, tile,
+                                  origin=(x1, y1), **kwargs)
+            return d, rgb, (x1, y1)
+    d, rgb = render_phong(verts, faces, K, R, t, height, width, **kwargs)
+    return d, rgb, (0, 0)
+
+
+def render_scene(models, obj_is, K, Rs, ts, height: int, width: int,
+                 random_light: bool = False,
+                 rng: np.random.RandomState | None = None,
+                 tiles=(128, 256, 512)):
+    """Composited multi-object scene render — the reference's
+    SceneRenderer/render_many path (lib/meshrenderer/scenerenderer.py:70-140,
+    meshrenderer_phong.py:209 render_many): each instance is Phong-rendered
+    and z-merged into one frame (nearest surface wins), like the GL depth
+    test across draws.
+
+    models: list of (verts, faces) or (verts, faces, colors) meshes.
+    obj_is: [N] int indices into `models`; Rs [N,3,3], ts [N,3].
+
+    Returns dict with: rgb [H,W,3] f32 in [0,1], depth [H,W] f32 (0 = no
+    hit), inst_map [H,W] int32 (-1 = background, else instance index),
+    bboxes [N,4] int xyxy of each instance's *visible* pixels (all -1 if
+    fully occluded / off-screen), bboxes_amodal [N,4] int xyxy of each
+    instance's own silhouette ignoring occlusion (what the reference's
+    render_many returns per draw, meshrenderer_phong.py:209-320), and
+    masks_visib [N,H,W] bool.
+    """
+    rng = rng or np.random.RandomState()
+    depth_full = np.zeros((height, width), np.float32)
+    rgb_full = np.zeros((height, width, 3), np.float32)
+    inst_map = np.full((height, width), -1, np.int32)
+    N = len(obj_is)
+    bboxes_amodal = np.full((N, 4), -1, np.int64)
+    for i in range(N):
+        m = models[obj_is[i]]
+        verts, faces = m[0], m[1]
+        colors = m[2] if len(m) > 2 else None
+        kw = {}
+        if random_light:
+            kw["light_pos"] = 1000.0 * rng.random_sample(3)
+            kw["ambient"] = 0.4 + 0.1 * (2 * rng.random_sample() - 1)
+            kw["diffuse"] = 0.8 + 0.1 * (2 * rng.random_sample() - 1)
+            kw["specular"] = 0.3 + 0.1 * (2 * rng.random_sample() - 1)
+        d_win, rgb_win, (ox, oy) = _phong_window(
+            verts, faces, K, Rs[i], ts[i], height, width,
+            tiles=tiles, colors=colors, **kw)
+        d_win = np.asarray(d_win)
+        rgb_win = np.asarray(rgb_win)
+        h, w = d_win.shape
+        y2, x2 = min(oy + h, height), min(ox + w, width)
+        if y2 <= oy or x2 <= ox:
+            continue
+        sub = np.s_[oy:y2, ox:x2]
+        dw = d_win[:y2 - oy, :x2 - ox]
+        ys, xs = np.nonzero(dw > 0)
+        if len(ys):
+            bboxes_amodal[i] = (ox + xs.min(), oy + ys.min(),
+                                ox + xs.max(), oy + ys.max())
+        cw = rgb_win[:y2 - oy, :x2 - ox]
+        closer = (dw > 0) & ((depth_full[sub] == 0) | (dw < depth_full[sub]))
+        depth_full[sub] = np.where(closer, dw, depth_full[sub])
+        rgb_full[sub] = np.where(closer[..., None], cw, rgb_full[sub])
+        inst_map[sub] = np.where(closer, i, inst_map[sub])
+    bboxes = np.full((N, 4), -1, np.int64)
+    masks = np.zeros((N, height, width), bool)
+    for i in range(N):
+        masks[i] = inst_map == i
+        ys, xs = np.nonzero(masks[i])
+        if len(ys):
+            bboxes[i] = (xs.min(), ys.min(), xs.max(), ys.max())
+    return {"rgb": rgb_full, "depth": depth_full, "inst_map": inst_map,
+            "bboxes": bboxes, "bboxes_amodal": bboxes_amodal,
+            "masks_visib": masks}

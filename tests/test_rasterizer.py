@@ -162,3 +162,96 @@ def test_render_xyz_roi_matches_full():
 
     with pytest.raises(ValueError):
         render_xyz_roi(v, f, K, R, t, height=96, width=128, tile=32)
+
+
+def test_render_box3d_edges():
+    """Projected AABB corners lie on rendered edge pixels; straight edges
+    between them are lit; interior stays black (box3d_renderer parity)."""
+    from gdrnet_tpu.ops.rasterizer import render_box3d
+
+    lo = np.array([-0.05, -0.035, -0.03], np.float32)
+    hi = np.array([0.05, 0.035, 0.03], np.float32)
+    R = np.eye(3, dtype=np.float32)
+    t = np.array([0, 0, 0.5], np.float32)
+    rgb = np.asarray(render_box3d(lo, hi, K, R, t, height=96, width=128))
+    assert rgb.shape == (96, 128, 3)
+    lit = rgb[..., 1] > 0
+    assert lit.sum() > 50
+    # all edges green (line.vs colors), R/B channels dark
+    assert rgb[..., 0].max() == 0 and rgb[..., 2].max() == 0
+    # each projected corner must be on (or adjacent to) a lit pixel
+    corners = np.array([[x, y, z] for x in (lo[0], hi[0])
+                        for y in (lo[1], hi[1]) for z in (lo[2], hi[2])])
+    cam = corners @ R.T + t
+    uv = cam @ K.T
+    px = uv[:, :2] / uv[:, 2:3]
+    for x, y in px:
+        xi, yi = int(round(x)), int(round(y))
+        assert lit[max(yi - 1, 0):yi + 2, max(xi - 1, 0):xi + 2].any()
+    # box interior center pixel is NOT lit (only edges drawn)
+    cx, cy = int(K[0, 2]), int(K[1, 2])
+    assert not lit[cy, cx]
+
+
+def test_render_scene_occlusion_and_boxes():
+    """Two cubes on the same ray: nearer instance owns the overlap in
+    inst_map; amodal box of the occluded one still spans its silhouette."""
+    from gdrnet_tpu.ops.rasterizer import render_scene
+
+    v, f = make_cube(0.05)
+    models = [(v, f)]
+    Rs = np.stack([np.eye(3, dtype=np.float32)] * 2)
+    ts = np.array([[0, 0, 0.7], [0.12, 0, 1.2]], np.float32)
+    out = render_scene(models, [0, 0], K, Rs, ts, height=96, width=128)
+    inst = out["inst_map"]
+    depth = out["depth"]
+    cx, cy = int(K[0, 2]), int(K[1, 2])
+    assert inst[cy, cx] == 0  # nearer cube wins the center
+    assert depth[cy, cx] == pytest.approx(0.65, abs=1e-3)
+    # far cube pokes out on the +x side of the near cube's silhouette
+    assert (inst == 1).sum() > 0
+    # visible bbox of far cube nests inside its amodal bbox
+    bv, ba = out["bboxes"][1], out["bboxes_amodal"][1]
+    assert bv[0] >= ba[0] and bv[1] >= ba[1]
+    assert bv[2] <= ba[2] and bv[3] <= ba[3]
+    # masks_visib partitions hit pixels
+    m = out["masks_visib"]
+    assert ((m[0] | m[1]) == (depth > 0)).all()
+    assert not (m[0] & m[1]).any()
+
+
+def test_scene_renderer_scene_generation(tmp_path):
+    """SceneRenderer end-to-end: reproducible scenes, bboxes on-image,
+    background fills non-hit pixels (scenerenderer.py:70-140 semantics)."""
+    from gdrnet_tpu.data.scene_renderer import SceneRenderer
+
+    v, f = make_cube(25.0)  # mm-scale like the reference
+    # wide-angle K so the reference's ray-separation rejection has room
+    # (the real SceneRenderer runs at VGA; this fixture frame is 128x96)
+    Kmm = np.array([[120.0, 0, 64.0], [0, 120.0, 48.0], [0, 0, 1]],
+                   np.float32)
+    sr = SceneRenderer([(v, f)], obj_ids=[7], width=128, height=96, K=Kmm,
+                       min_num_objects_per_scene=2,
+                       max_num_objects_per_scene=2, radius=650.0,
+                       rng=np.random.RandomState(0))
+    bgr, obj_info, extras = sr.render()
+    assert bgr.shape == (96, 128, 3) and bgr.dtype == np.uint8
+    assert len(obj_info) == 2 and all(o["id"] == 7 for o in obj_info)
+    hit = extras["depth"] > 0
+    assert hit.any()
+    # every amodal bb intersects the image and is well-formed
+    for o in obj_info:
+        x1, y1, x2, y2 = o["bb"]
+        assert x2 >= x1 and y2 >= y1
+    # background pixels differ from pure black (VOC/gradient composite)
+    assert bgr[~hit].sum() > 0
+    # placement rejection: center rays separated
+    tn = extras["ts"] / np.linalg.norm(extras["ts"], axis=1, keepdims=True)
+    assert tn[0] @ tn[1] <= 0.99 + 1e-6
+    # reproducible with the same seed
+    sr2 = SceneRenderer([(v, f)], obj_ids=[7], width=128, height=96, K=Kmm,
+                        min_num_objects_per_scene=2,
+                        max_num_objects_per_scene=2, radius=650.0,
+                        rng=np.random.RandomState(0))
+    bgr2, _, _ = sr2.render()
+    np.testing.assert_array_equal(bgr, bgr2)
