@@ -57,6 +57,22 @@ def _visib_mask(d_test, d_model, delta, mode: str = "bop19"):
     return ((d_diff <= delta) | (d_test == 0)) & (d_model > 0)
 
 
+def estimate_visib_mask_gt(d_test, d_gt, delta, visib_mode: str = "bop19"):
+    """Visibility mask of the GT pose render (reference
+    lib/pysixd/visibility.py:44-54)."""
+    return _visib_mask(jnp.asarray(d_test), jnp.asarray(d_gt),
+                       delta, visib_mode)
+
+
+def estimate_visib_mask_est(d_test, d_est, visib_gt, delta,
+                            visib_mode: str = "bop19"):
+    """Visibility mask of the estimated pose render, augmented with
+    pixels visible in GT (reference lib/pysixd/visibility.py:57-71)."""
+    d_est = jnp.asarray(d_est)
+    m = _visib_mask(jnp.asarray(d_test), d_est, delta, visib_mode)
+    return m | (jnp.asarray(visib_gt) & (d_est > 0))
+
+
 @partial(jax.jit, static_argnames=("cost_type", "visib_mode",
                                    "normalized_by_diameter"))
 def vsd_from_depths(depth_est, depth_gt, depth_test, K, delta, taus,

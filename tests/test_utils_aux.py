@@ -134,3 +134,107 @@ def test_mask_rle_roundtrip():
     assert tuple(mask2bbox_xyxy(m)) == (2.0, 2.0, 10.0, 10.0)
     e = get_edge(m, bw=1)
     assert e.shape == (16, 16, 3) and e[..., 0].sum() > 0
+
+
+def test_bbox_utils_conventions():
+    """xyxy<->xywh round trip, inclusive-pixel areas, centers, clip, IoU
+    (reference lib/utils/bbox_utils.py:26-130 conventions)."""
+    import numpy as np
+    from gdrnet_tpu.utils.bbox_utils import (
+        bbox_center, boxes_area, clip_xyxy_to_im, iou_xyxy, xywh_to_xyxy,
+        xyxy_to_xywh)
+
+    xyxy = np.array([[10.0, 20.0, 19.0, 39.0], [0.0, 0.0, 0.0, 0.0]])
+    xywh = xyxy_to_xywh(xyxy)
+    np.testing.assert_allclose(xywh[0], [10, 20, 10, 20])  # w = x2-x1+1
+    np.testing.assert_allclose(xywh[1], [0, 0, 1, 1])      # 1px box
+    np.testing.assert_allclose(xywh_to_xyxy(xywh), xyxy)
+    areas, neg = boxes_area(xyxy)
+    np.testing.assert_allclose(areas, [200.0, 1.0])
+    assert neg.size == 0
+    np.testing.assert_allclose(bbox_center(xyxy[0]), [14.5, 29.5])
+    np.testing.assert_allclose(bbox_center(xywh[0], fmt="xywh"),
+                               [14.5, 29.5])  # same box, same center
+    clipped = clip_xyxy_to_im(np.array([[-5.0, -5.0, 700.0, 500.0]]),
+                              height=480, width=640)
+    np.testing.assert_allclose(clipped[0], [0, 0, 639, 479])
+    iou = iou_xyxy(xyxy[:1], xyxy[:1])
+    np.testing.assert_allclose(iou, [[1.0]])
+    assert iou_xyxy([[0, 0, 9, 9]], [[10, 10, 19, 19]])[0, 0] == 0.0
+
+
+def test_dataset_params_layout(tmp_path):
+    """BOP dataset_params parity: path templates, scene ids, model params
+    (lib/pysixd/dataset_params.py:15-391)."""
+    import json
+    import os
+    import numpy as np
+    from gdrnet_tpu.data.dataset_params import (
+        get_camera_params, get_model_params, get_present_scene_ids,
+        get_split_params)
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "lm"))
+    with open(os.path.join(root, "lm", "camera.json"), "w") as f:
+        json.dump({"cx": 325.2611, "cy": 242.04899, "depth_scale": 1.0,
+                   "fx": 572.4114, "fy": 573.57043,
+                   "height": 480, "width": 640}, f)
+    cam = get_camera_params(root, "lm")
+    assert cam["im_size"] == (640, 480)
+    np.testing.assert_allclose(cam["K"][0, 0], 572.4114)
+    assert cam["depth_scale"] == 1.0
+
+    mp = get_model_params(root, "lmo")
+    assert mp["obj_ids"] == [1, 5, 6, 8, 9, 10, 11, 12]
+    assert mp["symmetric_obj_ids"] == [10, 11]
+    assert mp["model_tpath"].endswith("lmo/models/obj_{obj_id:06d}.ply")
+
+    sp = get_split_params(root, "lm", "train", split_type="pbr")
+    assert sp["rgb_tpath"].endswith(
+        "lm/train_pbr/{scene_id:06d}/rgb/{im_id:06d}.jpg")
+    assert sp["scene_gt_tpath"].endswith(
+        "lm/train_pbr/{scene_id:06d}/scene_gt.json")
+    sp_test = get_split_params(root, "lmo", "test")
+    assert sp_test["scene_ids"] == [2]
+    assert sp_test["depth_range"] == (346.31, 1499.84)
+    sp_y = get_split_params(root, "ycbv", "train")  # default real
+    assert sp_y["split_type"] == "real"
+    assert 59 not in sp_y["scene_ids"] and 60 in sp_y["scene_ids"]
+
+    # present-scene scan
+    os.makedirs(os.path.join(root, "lm", "train_pbr", "000003"))
+    os.makedirs(os.path.join(root, "lm", "train_pbr", "000001"))
+    assert get_present_scene_ids(sp) == [1, 3]
+
+
+def test_visibility_masks_bop():
+    """estimate_visib_mask_gt/est vs a numpy reimplementation of
+    lib/pysixd/visibility.py:9-71 on random depth images."""
+    import numpy as np
+    from gdrnet_tpu.eval.vsd import (
+        estimate_visib_mask_est, estimate_visib_mask_gt)
+
+    rng = np.random.RandomState(0)
+    shape = (24, 32)
+    d_test = rng.uniform(0, 2, shape) * (rng.rand(*shape) > 0.3)
+    d_gt = rng.uniform(0, 2, shape) * (rng.rand(*shape) > 0.3)
+    d_est = rng.uniform(0, 2, shape) * (rng.rand(*shape) > 0.3)
+    delta = 0.15
+    for mode in ("bop19", "bop18"):
+        diff_gt = d_gt - d_test
+        if mode == "bop18":
+            ref_gt = (d_test > 0) & (d_gt > 0) & (diff_gt <= delta)
+        else:
+            ref_gt = ((diff_gt <= delta) | (d_test == 0)) & (d_gt > 0)
+        got_gt = np.asarray(estimate_visib_mask_gt(d_test, d_gt, delta,
+                                                   visib_mode=mode))
+        np.testing.assert_array_equal(got_gt, ref_gt)
+        diff_est = d_est - d_test
+        if mode == "bop18":
+            ref_est = (d_test > 0) & (d_est > 0) & (diff_est <= delta)
+        else:
+            ref_est = ((diff_est <= delta) | (d_test == 0)) & (d_est > 0)
+        ref_est = ref_est | (ref_gt & (d_est > 0))
+        got_est = np.asarray(estimate_visib_mask_est(
+            d_test, d_est, got_gt, delta, visib_mode=mode))
+        np.testing.assert_array_equal(got_est, ref_est)
