@@ -8,11 +8,16 @@ end-to-end on GPU ≈ 29 crops/sec without batching; the TPU target is the
 driver-set 5k).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Default benches the int8 serving path (TEST.INT8 semantics:
+models/quantize.py, calibrated on the bench batch) — quality-gated on chip
+by `tools/validate_overfit.py --int8` (ad_10 parity with bf16, mean_re
++0.08 deg on the overfit fixture). `--bf16` benches the bf16 path.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -44,13 +49,31 @@ def main():
     variables = model.init({"params": jax.random.PRNGKey(0)},
                            batch["roi_img"], **kwargs, train=False)
 
+    int8_scales = None
+    if "--bf16" not in sys.argv:
+        from gdrnet_tpu.models.quantize import calibrate_act_scales
+        from gdrnet_tpu.engine.steps import _model_kwargs
+
+        def _cal_apply(v, b, _apply):
+            _apply(v, b["roi_img"], **_model_kwargs(b), train=False)
+
+        int8_scales = calibrate_act_scales(model, variables, [batch],
+                                           apply_fn=_cal_apply)
+
     def _forward(variables, roi_img):
-        out = model.apply(
-            variables, roi_img,
-            roi_classes=batch["roi_classes"], roi_coord_2d=batch["roi_coord_2d"],
-            roi_cams=batch["roi_cams"], roi_centers=batch["roi_centers"],
-            roi_whs=batch["roi_whs"], roi_extents=batch["roi_extents"],
-            resize_ratios=batch["resize_ratios"], train=False)
+        from gdrnet_tpu.models.quantize import quantized_scope
+        import contextlib
+
+        ctx = (quantized_scope(int8_scales) if int8_scales
+               else contextlib.nullcontext())
+        with ctx:
+            out = model.apply(
+                variables, roi_img,
+                roi_classes=batch["roi_classes"],
+                roi_coord_2d=batch["roi_coord_2d"],
+                roi_cams=batch["roi_cams"], roi_centers=batch["roi_centers"],
+                roi_whs=batch["roi_whs"], roi_extents=batch["roi_extents"],
+                resize_ratios=batch["resize_ratios"], train=False)
         return out["rot"], out["trans"]
 
     iters = 10

@@ -112,6 +112,10 @@ _DEFAULTS = dict(
         PNP_TYPE="ransac_pnp",
         PRECISE_BN=dict(ENABLED=False, NUM_ITER=200),
         AMP_TEST=False,
+        # int8 MXU serving path (post-training quantization of backbone +
+        # geometry-head convs, models/quantize.py); calibrated on the first
+        # test bucket. No reference analogue (AMP fp16 is the closest).
+        INT8=False,
         ROI_BATCH_SIZE=64,  # padded ROI bucket size at test (TPU static shapes)
         # crop ROIs on device from raw deduped frames (serving path)
         DEVICE_PREPROCESS=False,

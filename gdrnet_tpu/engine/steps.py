@@ -93,15 +93,25 @@ def make_train_step(cfg, model, optimizer: optax.GradientTransformation,
 
 
 def make_predict_step(model, mesh: Mesh | None = None,
-                      with_maps: bool = False) -> Callable:
+                      with_maps: bool = False,
+                      int8_scales: dict | None = None) -> Callable:
     """Returns predict(variables, batch) -> {"rot", "trans", ...} — the
     test-time forward (reference GDRN.forward with do_loss=False,
     GDRN.py:234-240); with_maps additionally returns mask/coor/region for
-    the PnP refinement paths (TEST.USE_PNP)."""
+    the PnP refinement paths (TEST.USE_PNP). int8_scales (from
+    models.quantize.calibrate_act_scales) runs the calibrated convs on the
+    int8 MXU path (~1.5x on v5e; TEST.INT8)."""
 
     def predict(variables, batch):
-        out = model.apply(variables, batch["roi_img"], **_model_kwargs(batch),
-                          train=False)
+        if int8_scales:
+            from gdrnet_tpu.models.quantize import quantized_scope
+
+            with quantized_scope(int8_scales):
+                out = model.apply(variables, batch["roi_img"],
+                                  **_model_kwargs(batch), train=False)
+        else:
+            out = model.apply(variables, batch["roi_img"],
+                              **_model_kwargs(batch), train=False)
         keep = {"rot": out["rot"], "trans": out["trans"]}
         if with_maps:
             for k in ("mask", "coor_x", "coor_y", "coor_z", "region"):

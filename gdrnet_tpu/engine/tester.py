@@ -85,6 +85,7 @@ def do_test(cfg, model, variables, models, records: list[dict],
     else:
         mapper = GDRNTestMapper(cfg, models, roi_batch_size=bucket)
     predict = make_predict_step(model, with_maps=use_pnp)
+    int8 = bool(cfg.TEST.get("INT8"))
 
     evaluator = CustomEvaluator(
         models.objs, models.points, models.diameters,
@@ -116,6 +117,13 @@ def do_test(cfg, model, variables, models, records: list[dict],
         t0 = time.perf_counter()
         dev_batch = {k: v for k, v in batch.items()
                      if k not in ("valid", "scores", "obj_ids", "im_hws")}
+        if int8:  # calibrate activation scales on the first bucket
+            from gdrnet_tpu.models.quantize import calibrate_act_scales
+
+            scales = calibrate_act_scales(model, variables, [dev_batch])
+            predict = make_predict_step(model, with_maps=use_pnp,
+                                        int8_scales=scales)
+            int8 = False
         out = predict(variables, dev_batch)
         rot = np.array(out["rot"])    # writable copies (PnP may refine rows)
         trans = np.array(out["trans"])

@@ -1,0 +1,99 @@
+"""int8 post-training quantization (models/quantize.py): the intercepted
+conv path must track the bf16 path closely on the full GDRN model, and the
+calibration must cover exactly the quantizable convs."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+@pytest.fixture(scope="module")
+def gdrn_setup():
+    from gdrnet_tpu.config import base_config
+    from gdrnet_tpu.models import build_model
+    from gdrnet_tpu.data import synthetic_roi_batch
+
+    cfg = base_config()
+    cfg.MODEL.CDPN.BACKBONE.NUM_LAYERS = 18
+    cfg.MODEL.CDPN.PNP_NET.WITH_2D_COORD = True
+    cfg.MODEL.CDPN.PNP_NET.REGION_ATTENTION = True
+    model = build_model(cfg)
+    b = synthetic_roi_batch(batch_size=4, seed=0)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    from gdrnet_tpu.engine.steps import _model_kwargs
+
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           batch["roi_img"], **_model_kwargs(batch),
+                           train=False)
+    return cfg, model, variables, batch
+
+
+def test_calibration_covers_quant_convs(gdrn_setup):
+    from gdrnet_tpu.models.quantize import calibrate_act_scales
+
+    cfg, model, variables, batch = gdrn_setup
+    scales = calibrate_act_scales(model, variables, [batch])
+    paths = set(scales)
+    # every scale is positive and within the quantized subtree
+    assert all(s > 0 for s in scales.values())
+    assert all(p.startswith(("backbone", "rot_head")) for p in paths)
+    # the f32 emit conv must NOT be calibrated/quantized
+    assert not any("out_conv" in p for p in paths)
+    # R18 trunk: stem + 8 blocks x 2 convs + shortcuts; head stage convs
+    assert sum(p.startswith("backbone") for p in paths) >= 17
+    assert sum(p.startswith("rot_head") for p in paths) >= 6
+
+
+def test_int8_predict_tracks_bf16(gdrn_setup):
+    from gdrnet_tpu.engine.steps import make_predict_step
+    from gdrnet_tpu.models.quantize import calibrate_act_scales
+    from gdrnet_tpu.ops.rotation import rot_angle_deg
+
+    cfg, model, variables, batch = gdrn_setup
+    scales = calibrate_act_scales(model, variables, [batch])
+    ref = make_predict_step(model)(variables, batch)
+    q = make_predict_step(model, int8_scales=scales)(variables, batch)
+    # rotations within a degree, translations within 5% rel on random init
+    ang = np.asarray(rot_angle_deg(jnp.asarray(ref["rot"], jnp.float32),
+                                   jnp.asarray(q["rot"], jnp.float32)))
+    assert ang.max() < 1.0, ang
+    t_ref = np.asarray(ref["trans"], np.float64)
+    t_q = np.asarray(q["trans"], np.float64)
+    rel = np.abs(t_q - t_ref) / np.maximum(np.abs(t_ref), 1e-3)
+    assert rel.max() < 0.05, rel.max()
+
+
+def test_int8_conv_exact_int_arithmetic():
+    """With inputs/weights already on the int8 grid the quantized conv is
+    EXACT (int32 accumulate) — validates scale bookkeeping end to end."""
+    import flax.linen as nn
+    from gdrnet_tpu.models.quantize import (calibrate_act_scales,
+                                            quantized_scope)
+
+    class One(nn.Module):
+        @nn.compact
+        def __call__(self, x, *, train=False):
+            return nn.Conv(8, (3, 3), padding=[(1, 1), (1, 1)],
+                           use_bias=True, name="c")(x)
+
+    m = One()
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randint(-127, 128, (2, 8, 8, 4)), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    # put weights on the int grid with per-channel max exactly 127
+    w = rng.randint(-127, 128, (3, 3, 4, 8)).astype(np.float32)
+    w[0, 0, 0, :] = 127.0
+    v = jax.tree_util.tree_map(lambda a: a, v)
+    v = {"params": {"c": {"kernel": jnp.asarray(w),
+                          "bias": v["params"]["c"]["bias"]}}}
+
+    def apply_fn(vv, b, _apply):
+        _apply(vv, b, train=False)
+
+    scales = calibrate_act_scales(m, v, [x], apply_fn=apply_fn,
+                                  prefixes=("c",), exclude_names=())
+    assert scales["c"] == pytest.approx(1.0)
+    ref = m.apply(v, x)
+    with quantized_scope(scales, prefixes=("c",), exclude_names=()):
+        q = m.apply(v, x)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(ref), atol=1e-3)

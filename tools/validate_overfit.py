@@ -1,4 +1,4 @@
-"""On-chip learning validation: overfit the 2-object fixture dataset with the
+"""On-chip learning validation (--int8 additionally scores the int8 serving path): overfit the 2-object fixture dataset with the
 full train step (Ranger + all losses) and verify the evaluator reports
 accurate poses (expected after 800 iters / ~35s on a v5e: mean_re ~2 deg,
 mean_te ~1 cm, ad_10 >= 0.5 and climbing; the brick converges to either of
@@ -90,3 +90,10 @@ print(f"train time: {time.time()-t0:.0f}s", flush=True)
 results = do_test(cfg, model, state.variables(), models, records, output_dir="/tmp/fixture_overfit_out")
 print(results["_summary"], flush=True)
 print("ad_10 avg:", results["Avg"]["ad_10"], " re mean:", results["Avg"]["mean_re"], flush=True)
+
+if "--int8" in sys.argv:  # quantized-serving quality gate (TEST.INT8)
+    cfg.TEST.INT8 = True
+    r8 = do_test(cfg, model, state.variables(), models, records,
+                 output_dir="/tmp/fixture_overfit_out_int8")
+    print("int8:", r8["_summary"], flush=True)
+    print("int8 ad_10 avg:", r8["Avg"]["ad_10"], " re mean:", r8["Avg"]["mean_re"], flush=True)
