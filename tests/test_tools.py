@@ -198,3 +198,28 @@ def test_predict_cli(tmp_path):
     assert len(rows) == len(records)
     for r in rows:
         assert np.all(np.isfinite(r["R"])) and np.all(np.isfinite(r["t"]))
+
+    # int8 serving path (TEST.INT8): same CLI, poses must track bf16
+    cfg8_path = tmp_path / "cfg8.py"
+    cfg8_path.write_text(cfg_path.read_text().replace(
+        "TEST = dict(ROI_BATCH_SIZE=4)",
+        "TEST = dict(ROI_BATCH_SIZE=4, INT8=True)"))
+    out8 = str(tmp_path / "poses_int8.csv")
+    rm.get_meta = lambda name, data_root=None: meta
+    try:
+        predict_tool.main([
+            "--config-file", str(cfg8_path), "--ckpt", str(tmp_path / "ckpt"),
+            "--dataset", "fixture", "--dets", str(dets_path),
+            "--image-root", osp.join(str(root), "test"),
+            "--out", out8])
+    finally:
+        rm.get_meta = real_get_meta
+    rows8 = load_bop_results(out8)
+    assert len(rows8) == len(rows)
+    from gdrnet_tpu.ops.rotation import rot_angle_deg
+    for r, r8 in zip(rows, rows8):
+        ang = float(np.asarray(rot_angle_deg(
+            jnp.asarray(r["R"], jnp.float32)[None],
+            jnp.asarray(r8["R"], jnp.float32)[None]))[0])
+        assert ang < 2.0, ang
+        assert np.linalg.norm(r8["t"] - r["t"]) < 0.05 * np.linalg.norm(r["t"])

@@ -78,6 +78,7 @@ def main(argv=None):
     state = load_params_for_eval(args.ckpt, state)
     variables = state.variables()
     predict = make_predict_step(model)
+    int8 = bool(cfg.TEST.get("INT8"))  # TEST.INT8=True on the CLI opts
 
     K_global = None
     if args.K:
@@ -116,9 +117,16 @@ def main(argv=None):
         chunk = flat[start:start + bucket]
         t0 = time.perf_counter()
         batch = mapper.map_flat([(p, K, d) for p, K, d, _, _ in chunk])
-        out = predict(variables, {k: v for k, v in batch.items()
-                                  if k not in ("valid", "scores", "obj_ids",
-                                               "im_hws")})
+        dev = {k: v for k, v in batch.items()
+               if k not in ("valid", "scores", "obj_ids", "im_hws")}
+        if int8:  # calibrate on the first bucket (models/quantize.py)
+            from gdrnet_tpu.models.quantize import calibrate_act_scales
+
+            predict = make_predict_step(
+                model,
+                int8_scales=calibrate_act_scales(model, variables, [dev]))
+            int8 = False
+        out = predict(variables, dev)
         rot = np.asarray(out["rot"])
         trans = np.asarray(out["trans"])
         dt = time.perf_counter() - t0
