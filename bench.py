@@ -37,7 +37,7 @@ def main():
     cfg.PARALLEL.DTYPE = "bfloat16"
     model = build_model(cfg)
 
-    batch_size = 512
+    batch_size = 1024
     b = synthetic_roi_batch(batch_size=batch_size)
     batch = {k: jnp.asarray(v) for k, v in b.items()}
 

@@ -255,3 +255,32 @@ def test_scene_renderer_scene_generation(tmp_path):
                         rng=np.random.RandomState(0))
     bgr2, _, _ = sr2.render()
     np.testing.assert_array_equal(bgr, bgr2)
+
+
+def test_bop_renderer_factory(tmp_path):
+    """create_renderer/render_object BOP interface (lib/pysixd/renderer.py:
+    11-107): PLY loading, rgb+depth render, depth-only mode."""
+    from gdrnet_tpu.data.ply import save_ply
+    from gdrnet_tpu.eval.renderer import create_renderer
+
+    v, f = make_cube(0.05)
+    ply = str(tmp_path / "obj.ply")
+    save_ply(ply, v, faces=f,
+             colors=np.full((len(v), 3), 200, np.uint8))
+    ren = create_renderer(128, 96, renderer_type="cpp")  # any type -> XLA
+    ren.add_object(1, ply)
+    out = ren.render_object(1, np.eye(3), np.array([0, 0, 0.5]),
+                            572.4, 573.6, 64.0, 48.0)
+    assert out["rgb"].shape == (96, 128, 3) and out["rgb"].dtype == np.uint8
+    assert out["depth"].shape == (96, 128)
+    assert out["depth"][48, 64] == pytest.approx(0.45, abs=1e-3)
+    assert out["rgb"][48, 64].sum() > 0        # lit front face
+    assert (out["depth"] > 0).sum() > 100
+    # depth-only renderer matches
+    ren_d = create_renderer(128, 96, mode="depth")
+    ren_d.add_object(1, ply)
+    out_d = ren_d.render_object(1, np.eye(3), np.array([0, 0, 0.5]),
+                                572.4, 573.6, 64.0, 48.0)
+    np.testing.assert_allclose(out_d["depth"], out["depth"], atol=1e-5)
+    ren_d.remove_object(1)
+    assert 1 not in ren_d._models
