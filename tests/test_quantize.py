@@ -15,10 +15,12 @@ def gdrn_setup():
 
     cfg = base_config()
     cfg.MODEL.CDPN.BACKBONE.NUM_LAYERS = 18
+    cfg.MODEL.CDPN.BACKBONE.INPUT_RES = 64   # small = fast CPU compiles
+    cfg.MODEL.CDPN.BACKBONE.OUTPUT_RES = 16
     cfg.MODEL.CDPN.PNP_NET.WITH_2D_COORD = True
     cfg.MODEL.CDPN.PNP_NET.REGION_ATTENTION = True
     model = build_model(cfg)
-    b = synthetic_roi_batch(batch_size=4, seed=0)
+    b = synthetic_roi_batch(batch_size=4, input_res=64, out_res=16, seed=0)
     batch = {k: jnp.asarray(v) for k, v in b.items()}
     from gdrnet_tpu.engine.steps import _model_kwargs
 
@@ -97,3 +99,26 @@ def test_int8_conv_exact_int_arithmetic():
     with quantized_scope(scales, prefixes=("c",), exclude_names=()):
         q = m.apply(v, x)
     np.testing.assert_allclose(np.asarray(q), np.asarray(ref), atol=1e-3)
+
+
+def test_int8_predict_sharded_mesh(gdrn_setup):
+    """int8 serving under a data mesh: the quantized program must compile
+    and shard like the bf16 one (GSPMD over the 8-device CPU mesh)."""
+    from jax.sharding import Mesh
+    from gdrnet_tpu.engine.steps import make_predict_step
+    from gdrnet_tpu.models.quantize import calibrate_act_scales
+
+    cfg, model, variables, batch = gdrn_setup
+    # batch of 8 so it shards evenly over the virtual devices
+    batch8 = {k: jnp.concatenate([v, v], 0) for k, v in batch.items()}
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    scales = calibrate_act_scales(model, variables, [batch8])
+    predict = make_predict_step(model, mesh=mesh, int8_scales=scales)
+    out = predict(variables, batch8)
+    assert np.isfinite(np.asarray(out["rot"])).all()
+    assert out["rot"].shape == (8, 3, 3)
+    # matches the unsharded int8 path
+    ref = make_predict_step(model, int8_scales=scales)(variables, batch8)
+    np.testing.assert_allclose(np.asarray(out["rot"], np.float32),
+                               np.asarray(ref["rot"], np.float32),
+                               atol=2e-2)
