@@ -114,6 +114,22 @@ def test_train_eval_resume(fixture_env, tmp_path):
     assert len(loaded) == 8  # 4 images x 2 objects
     assert "objects" in results["_summary"]
 
+    # --- int8 serving x device-side cropping (full serving matrix): the
+    # quantized convs must compose with TEST.DEVICE_PREPROCESS and produce
+    # poses tracking the bf16 eval
+    cfg.TEST.INT8 = True
+    cfg.TEST.DEVICE_PREPROCESS = True
+    r8 = do_test(cfg, model, state.variables(), models, records,
+                 output_dir=osp.join(cfg.OUTPUT_DIR, "int8"))
+    loaded8 = load_bop_results(r8["_csv_path"])
+    assert len(loaded8) == 8
+    for a, b in zip(loaded, loaded8):
+        assert np.isfinite(b["R"]).all() and np.isfinite(b["t"]).all()
+        # same ROI order; int8 translation within 10% of bf16
+        assert np.linalg.norm(b["t"] - a["t"]) < 0.1 * np.linalg.norm(a["t"])
+    cfg.TEST.INT8 = False
+    cfg.TEST.DEVICE_PREPROCESS = False
+
 
 def test_train_device_preprocess(fixture_env, tmp_path):
     """INPUT.DEVICE_PREPROCESS=True: host ships raw frames, the XLA pipeline
