@@ -123,8 +123,10 @@ class SceneRenderer:
             bgr = self.augmenters(bgr, rng)
         obj_info = []
         for bb, oi in zip(scene["bboxes_amodal"], self.obj_ids[obj_is]):
-            obj_info.append({"id": int(oi),
-                             "bb": [int(v) for v in bb]})
+            x1, y1, x2, y2 = (int(v) for v in bb)
+            # exclusive max corner, reference convention (scenerenderer.py:
+            # 129-137 builds [x, y, x+w, y+h] from calc_2d_bbox's w,h)
+            obj_info.append({"id": int(oi), "bb": [x1, y1, x2 + 1, y2 + 1]})
         extras = {"depth": scene["depth"], "inst_map": scene["inst_map"],
                   "masks_visib": scene["masks_visib"],
                   "bboxes_visib": scene["bboxes"],

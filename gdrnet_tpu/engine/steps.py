@@ -106,10 +106,12 @@ def make_predict_step(model, mesh: Mesh | None = None,
         if int8_scales:
             from gdrnet_tpu.models.quantize import quantized_scope
 
-            with quantized_scope(int8_scales):
-                out = model.apply(variables, batch["roi_img"],
-                                  **_model_kwargs(batch), train=False)
+            ctx = quantized_scope(int8_scales)
         else:
+            import contextlib
+
+            ctx = contextlib.nullcontext()
+        with ctx:
             out = model.apply(variables, batch["roi_img"],
                               **_model_kwargs(batch), train=False)
         keep = {"rot": out["rot"], "trans": out["trans"]}

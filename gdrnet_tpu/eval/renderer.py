@@ -12,7 +12,7 @@ import numpy as np
 
 from gdrnet_tpu.data.ply import load_ply
 from gdrnet_tpu.ops.rasterizer import (
-    _phong_window, paste_window, render_xyz, render_xyz_roi)
+    _phong_window, paste_window, render_xyz, render_xyz_roi, window_origin)
 
 
 class Renderer:
@@ -85,14 +85,14 @@ class Renderer:
             return out
         # depth-only: windowed XYZ render ladder, full-frame fallback
         for tile in (128, 256, 512):
-            if tile > min(self.height, self.width):
+            if tile >= max(self.height, self.width):
                 break
-            try:
-                d_win, _, org = render_xyz_roi(
-                    verts, faces, K, R, t, height=self.height,
-                    width=self.width, tile=tile)
-            except ValueError:
+            if window_origin(verts, K, R, t, self.height, self.width,
+                             tile) is None:
                 continue
+            d_win, _, org = render_xyz_roi(
+                verts, faces, K, R, t, height=self.height,
+                width=self.width, tile=tile)
             out["depth"] = paste_window(
                 np.zeros((self.height, self.width), np.float32),
                 np.asarray(d_win), org)

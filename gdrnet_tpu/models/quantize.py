@@ -113,7 +113,10 @@ def calibrate_act_scales(model, variables, batches: list[dict],
                     and context.method_name == "__call__"):
                 p = _path_str(context.module)
                 if _should_quantize(p, prefixes, exclude_names):
-                    rec[p] = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
+                    m = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
+                    # max-merge: a weight-shared conv called twice per
+                    # forward must calibrate over BOTH invocations
+                    rec[p] = jnp.maximum(rec[p], m) if p in rec else m
             return next_fun(*args, **kwargs)
 
         def _apply(v, *a, **kw):

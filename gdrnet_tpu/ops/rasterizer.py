@@ -269,6 +269,24 @@ def render_phong_many(verts, faces, K, Rs, ts, height: int, width: int,
         np.stack([np.asarray(c) for c in rgbs])
 
 
+def window_origin(verts32, K, R, t, height: int, width: int,
+                  tile: int) -> tuple[int, int] | None:
+    """Origin of a [tile, tile] pixel window containing the whole projected
+    mesh, clamped to the frame; None if the projection doesn't fit. The one
+    copy of the fit test shared by every windowed render path."""
+    K32 = np.asarray(K, np.float32)
+    cam = np.asarray(verts32, np.float32) @ np.asarray(R, np.float32).T \
+        + np.asarray(t, np.float32)
+    uv = cam @ K32.T
+    u = uv[:, 0] / np.maximum(uv[:, 2], 1e-4)
+    v = uv[:, 1] / np.maximum(uv[:, 2], 1e-4)
+    x1 = int(np.clip(np.floor(u.min()) - 1, 0, max(width - tile, 0)))
+    y1 = int(np.clip(np.floor(v.min()) - 1, 0, max(height - tile, 0)))
+    if (float(u.max()) - x1 + 2 > tile) or (float(v.max()) - y1 + 2 > tile):
+        return None
+    return x1, y1
+
+
 def render_xyz_roi(verts, faces, K, R, t, height: int, width: int,
                    tile: int = 256, chunk: int = 512):
     """Windowed XYZ render: rasterize only a [tile, tile] pixel window around
@@ -287,17 +305,10 @@ def render_xyz_roi(verts, faces, K, R, t, height: int, width: int,
     R32 = np.asarray(R, np.float32)
     t32 = np.asarray(t, np.float32)
     K32 = np.asarray(K, np.float32)
-    cam = verts32 @ R32.T + t32
-    uv = cam @ K32.T
-    u = uv[:, 0] / np.maximum(uv[:, 2], 1e-4)
-    v = uv[:, 1] / np.maximum(uv[:, 2], 1e-4)
-    x1 = int(np.clip(np.floor(u.min()) - 1, 0, max(width - tile, 0)))
-    y1 = int(np.clip(np.floor(v.min()) - 1, 0, max(height - tile, 0)))
-    w_need = float(u.max()) - x1 + 2
-    h_need = float(v.max()) - y1 + 2
-    if w_need > tile or h_need > tile:
-        raise ValueError(
-            f"projection {w_need:.0f}x{h_need:.0f} exceeds tile {tile}")
+    org = window_origin(verts32, K32, R32, t32, height, width, tile)
+    if org is None:
+        raise ValueError(f"projection exceeds tile {tile}")
+    x1, y1 = org
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
     if on_tpu:
         # Pallas kernel: every [pixel-tile, face-chunk] intermediate stays in
@@ -354,15 +365,11 @@ def render_xyz_roi_many(verts, faces, Ks, Rs, ts, height: int, width: int,
     origins = np.zeros((N, 2), np.float32)
     too_big = []
     for i in range(N):
-        cam = verts32 @ Rs[i].T + ts[i]
-        uv = cam @ Ks[i].T
-        u = uv[:, 0] / np.maximum(uv[:, 2], 1e-4)
-        v = uv[:, 1] / np.maximum(uv[:, 2], 1e-4)
-        x1 = int(np.clip(np.floor(u.min()) - 1, 0, max(width - tile, 0)))
-        y1 = int(np.clip(np.floor(v.min()) - 1, 0, max(height - tile, 0)))
-        if (u.max() - x1 + 2 > tile) or (v.max() - y1 + 2 > tile):
+        org = window_origin(verts32, Ks[i], Rs[i], ts[i], height, width, tile)
+        if org is None:
             too_big.append(i)
-        origins[i] = (x1, y1)
+        else:
+            origins[i] = org
     if too_big and on_misfit == "raise":
         raise ValueError(f"poses exceed tile {tile}: {too_big}")
     fitted = [i for i in range(N) if i not in set(too_big)]
@@ -429,26 +436,38 @@ def _rasterize_segments(p0, p1, valid, height: int, width: int,
 
 
 def render_box3d(vert_min, vert_max, K, R, t, height: int, width: int,
-                 line_width: float = 1.0, color=(0.0, 1.0, 0.0),
+                 line_width: float = 3.0, color=(0.0, 1.0, 0.0),
                  z_near: float = 1e-4):
     """Render the 12 edges of an object's 3D bounding box under pose (R, t)
     — the reference's GL box3d edge renderer (lib/meshrenderer/
     box3d_renderer.py:120-148 drawing 12 instanced GL_LINES between the
-    min/max mesh corners, shader/line.vs, all edges colored (0,1,0)).
+    min/max mesh corners with glLineWidth(3) (:113), shader/line.vs, all
+    edges colored (0,1,0)).
 
     vert_min/vert_max: [3] object-frame AABB corners (the reference passes
-    per-object min_vert/max_vert uniforms). Returns rgb [H, W, 3] f32 in
-    [0, 1], black background — same layout as the GL readback.
+    per-object min_vert/max_vert uniforms). Edges crossing the near plane
+    are clipped to their visible part (GL clip-space line clipping).
+    Returns rgb [H, W, 3] f32 in [0, 1], black background — same layout as
+    the GL readback.
     """
     lo = np.asarray(vert_min, np.float32)
     hi = np.asarray(vert_max, np.float32)
     corners = np.where(_BOX_EDGES.reshape(-1, 3) == 1, hi, lo)  # [24, 3]
     cam = corners @ np.asarray(R, np.float32).T + np.asarray(t, np.float32)
-    z = cam[:, 2]
-    uv = cam @ np.asarray(K, np.float32).T
-    pts = uv[:, :2] / np.maximum(uv[:, 2:3], z_near)            # [24, 2]
-    p0, p1 = pts[0::2], pts[1::2]
-    valid = (z[0::2] > z_near) & (z[1::2] > z_near)
+    a, b = cam[0::2], cam[1::2]                                 # [12, 3]
+    za, zb = a[:, 2], b[:, 2]
+    valid = (za > z_near) | (zb > z_near)
+    # clip each endpoint behind the near plane to the z=z_near crossing
+    denom = np.where(np.abs(zb - za) < 1e-12, 1e-12, zb - za)
+    tt = np.clip((z_near - za) / denom, 0.0, 1.0)
+    a = np.where((za <= z_near)[:, None], a + tt[:, None] * (b - a), a)
+    b = np.where((zb <= z_near)[:, None],
+                 cam[0::2] + tt[:, None] * (b - cam[0::2]), b)
+    K32 = np.asarray(K, np.float32)
+    ua = a @ K32.T
+    ub = b @ K32.T
+    p0 = ua[:, :2] / np.maximum(ua[:, 2:3], z_near)             # [12, 2]
+    p1 = ub[:, :2] / np.maximum(ub[:, 2:3], z_near)
     mask = _rasterize_segments(
         jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(valid),
         height=height, width=width,
@@ -464,19 +483,14 @@ def _phong_window(verts, faces, K, R, t, height, width,
     frame if the projection exceeds every tile. Returns (depth, rgb,
     (ox, oy)) with window-sized outputs."""
     verts32 = np.asarray(verts, np.float32)
-    cam = verts32 @ np.asarray(R, np.float32).T + np.asarray(t, np.float32)
-    uv = cam @ np.asarray(K, np.float32).T
-    u = uv[:, 0] / np.maximum(uv[:, 2], 1e-4)
-    v = uv[:, 1] / np.maximum(uv[:, 2], 1e-4)
     for tile in tiles:
         if tile >= max(height, width):
             break
-        x1 = int(np.clip(np.floor(u.min()) - 1, 0, max(width - tile, 0)))
-        y1 = int(np.clip(np.floor(v.min()) - 1, 0, max(height - tile, 0)))
-        if (u.max() - x1 + 2 <= tile) and (v.max() - y1 + 2 <= tile):
+        org = window_origin(verts32, K, R, t, height, width, tile)
+        if org is not None:
             d, rgb = render_phong(verts, faces, K, R, t, tile, tile,
-                                  origin=(x1, y1), **kwargs)
-            return d, rgb, (x1, y1)
+                                  origin=org, **kwargs)
+            return d, rgb, org
     d, rgb = render_phong(verts, faces, K, R, t, height, width, **kwargs)
     return d, rgb, (0, 0)
 
@@ -508,16 +522,17 @@ def render_scene(models, obj_is, K, Rs, ts, height: int, width: int,
     inst_map = np.full((height, width), -1, np.int32)
     N = len(obj_is)
     bboxes_amodal = np.full((N, 4), -1, np.int64)
+    kw = {}
+    if random_light:  # ONE light per scene, shared by every draw (the
+        # reference randomizes before the draw loop, render_many)
+        kw["light_pos"] = 1000.0 * rng.random_sample(3)
+        kw["ambient"] = 0.4 + 0.1 * (2 * rng.random_sample() - 1)
+        kw["diffuse"] = 0.8 + 0.1 * (2 * rng.random_sample() - 1)
+        kw["specular"] = 0.3 + 0.1 * (2 * rng.random_sample() - 1)
     for i in range(N):
         m = models[obj_is[i]]
         verts, faces = m[0], m[1]
         colors = m[2] if len(m) > 2 else None
-        kw = {}
-        if random_light:
-            kw["light_pos"] = 1000.0 * rng.random_sample(3)
-            kw["ambient"] = 0.4 + 0.1 * (2 * rng.random_sample() - 1)
-            kw["diffuse"] = 0.8 + 0.1 * (2 * rng.random_sample() - 1)
-            kw["specular"] = 0.3 + 0.1 * (2 * rng.random_sample() - 1)
         d_win, rgb_win, (ox, oy) = _phong_window(
             verts, faces, K, Rs[i], ts[i], height, width,
             tiles=tiles, colors=colors, **kw)

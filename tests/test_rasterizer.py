@@ -284,3 +284,24 @@ def test_bop_renderer_factory(tmp_path):
     np.testing.assert_allclose(out_d["depth"], out["depth"], atol=1e-5)
     ren_d.remove_object(1)
     assert 1 not in ren_d._models
+
+
+def test_render_box3d_near_plane_clipping():
+    """An edge with one endpoint behind the camera must still draw its
+    visible part (GL clip-space line clipping), not vanish."""
+    from gdrnet_tpu.ops.rasterizer import render_box3d
+
+    # box straddling the camera: near face behind, far face in front
+    lo = np.array([-0.02, -0.02, -0.2], np.float32)
+    hi = np.array([0.02, 0.02, 0.2], np.float32)
+    R = np.eye(3, dtype=np.float32)
+    t = np.array([0, 0, 0.1], np.float32)  # z spans [-0.1, 0.3]
+    rgb = np.asarray(render_box3d(lo, hi, K, R, t, height=96, width=128))
+    lit = rgb[..., 1] > 0
+    # the 4 z-parallel edges cross the near plane: visible parts must draw
+    assert lit.sum() > 50
+    # the far face (z=+0.2 -> cam z=0.3) projects fully inside: its corner
+    # (0.02, 0.02) -> u = 64 + 572.4*0.02/0.3 = 102, v = 48 + 573.6*0.02/0.3
+    u = int(round(64 + 572.4 * 0.02 / 0.3))
+    v = int(round(48 + 573.6 * 0.02 / 0.3))
+    assert lit[v - 2:v + 3, u - 2:u + 3].any()
