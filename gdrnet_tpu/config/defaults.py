@@ -87,6 +87,8 @@ _DEFAULTS = dict(
         MAX_TO_KEEP=5,
         AMP=dict(ENABLED=False),  # reference key; on TPU means bf16 compute
         GRAD_CLIP=0.0,
+        # >1: average grads over k micro-batches per optimizer step
+        GRAD_ACCUM_STEPS=1,
     ),
     TRAIN=dict(PRINT_FREQ=100, VERBOSE=False, VIS=False, VIS_IMG=False),
     VAL=dict(

@@ -140,12 +140,77 @@ def aug_ssd(img, rng):
     return img
 
 
+def aug_albu(img, rng):
+    """Numpy/cv2 equivalent of the reference's `code_albu` albumentations
+    pipeline (base_data_loader.py:208-243): coarse dropout, noise, a blur
+    family, CLAHE/sharpen/emboss/brightness-contrast, invert, RGB shift,
+    contrast, gamma, brightness — same composition order and probabilities
+    (bitwise RNG parity is impossible; distributional parity is the target,
+    SURVEY hard-parts)."""
+    img = img.astype(np.float32)
+    h, w = img.shape[:2]
+    if rng.rand() < 0.4:  # CoarseDropout(max 5% holes of 5% size, p=0.4)
+        img = aug_coarse_dropout(img, rng, p_px=0.03, size_frac=0.05)
+    if rng.rand() < 0.2:  # OneOf additive noise
+        img = aug_gaussian_noise(img, rng, scale=10.0)
+    if rng.rand() < 0.2:  # OneOf[MotionBlur | MedianBlur(3) | Blur(3)]
+        u = rng.rand()
+        u8 = np.clip(img, 0, 255).astype(np.uint8)
+        if u < 0.5:  # motion blur: random-angle line kernel
+            k = 2 * rng.randint(1, 3) + 1
+            kern = np.zeros((k, k), np.float32)
+            if rng.rand() < 0.5:
+                kern[k // 2, :] = 1.0
+            else:
+                kern[:, k // 2] = 1.0
+            img = cv2.filter2D(u8, -1, kern / kern.sum()).astype(np.float32)
+        elif u < 0.75:
+            img = cv2.medianBlur(u8, 3).astype(np.float32)
+        else:
+            img = cv2.blur(u8, (3, 3)).astype(np.float32)
+    if rng.rand() < 0.3:  # OneOf[CLAHE | Sharpen | Emboss | Bright+Contrast]
+        u = rng.rand()
+        u8 = np.clip(img, 0, 255).astype(np.uint8)
+        if u < 0.25:
+            lab = cv2.cvtColor(u8, cv2.COLOR_BGR2LAB)
+            lab[..., 0] = cv2.createCLAHE(clipLimit=2.0).apply(lab[..., 0])
+            img = cv2.cvtColor(lab, cv2.COLOR_LAB2BGR).astype(np.float32)
+        elif u < 0.5:  # sharpen
+            kern = np.array([[-1, -1, -1], [-1, 9, -1], [-1, -1, -1]],
+                            np.float32)
+            img = cv2.filter2D(u8, -1, kern).astype(np.float32)
+        elif u < 0.75:  # emboss blended with identity
+            kern = np.array([[-1, -1, 0], [-1, 1, 1], [0, 1, 1]], np.float32)
+            emb = cv2.filter2D(u8, -1, kern).astype(np.float32)
+            a = rng.uniform(0.2, 0.5)
+            img = (1 - a) * img + a * emb
+        else:
+            img = aug_contrast(aug_brightness_add(img, rng), rng,
+                               lo=0.8, hi=1.2)
+    if rng.rand() < 0.2:  # InvertImg
+        img = 255.0 - img
+    if rng.rand() < 0.5:  # RGBShift(105/45/40) — img is BGR
+        shift = np.array([rng.uniform(-40, 40), rng.uniform(-45, 45),
+                          rng.uniform(-105, 105)], np.float32)
+        img = img + shift[None, None]
+    if rng.rand() < 0.5:  # RandomContrast(0.9)
+        img = aug_contrast(img, rng, lo=0.1, hi=1.9)
+    if rng.rand() < 0.5:  # RandomGamma(80..120)
+        gamma = rng.uniform(0.8, 1.2)
+        img = 255.0 * (np.clip(img, 0, 255) / 255.0) ** gamma
+    if rng.rand() < 0.5:  # RandomBrightness(1.2)
+        img = img * (1.0 + rng.uniform(-0.5, 0.5))
+    return np.clip(img, 0, 255)
+
+
 def build_color_augmentor(aug_type: str = "ROI10D") -> Callable:
     key = aug_type.lower()
     if key in ("roi10d",):
         return aug_roi10d
-    if key in ("aae", "code", "code_albu"):  # code pipelines approximate AAE
+    if key in ("aae", "code"):  # code pipelines approximate AAE
         return aug_aae
+    if key in ("albu", "code_albu"):
+        return aug_albu
     if key in ("ssd",):
         return aug_ssd
     raise ValueError(f"Unknown color aug type: {aug_type}")

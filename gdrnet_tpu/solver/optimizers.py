@@ -412,10 +412,16 @@ def build_optimizer(cfg, lr_schedule: Optional[Callable] = None,
         raise ValueError(f"Unknown optimizer type: {oc.get('type')}")
 
     grad_clip = cfg.SOLVER.get("GRAD_CLIP", 0.0)
+    accum = int(cfg.SOLVER.get("GRAD_ACCUM_STEPS", 1) or 1)
 
     def _with_clip(tx: optax.GradientTransformation) -> optax.GradientTransformation:
         if grad_clip and grad_clip > 0:
-            return optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+            tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+        if accum > 1:
+            # TPU-first addition (no reference analogue): average grads over
+            # k micro-batches before one optimizer step — IMS_PER_BATCH
+            # beyond HBM at the same update semantics (optax.MultiSteps)
+            tx = optax.MultiSteps(tx, every_k_schedule=accum)
         return tx
 
     net_cfg = cfg.MODEL.CDPN

@@ -179,3 +179,27 @@ def test_samplers():
     assert inf == [4, 5, 6, 7]
     bs = list(batched(iter(range(7)), 3))
     assert bs == [[0, 1, 2], [3, 4, 5]]  # drop_last
+
+
+def test_aug_albu_family():
+    """code_albu color pipeline: valid range/dtype, identity-free under a
+    seed that triggers transforms, deterministic per seed."""
+    import numpy as np
+    from gdrnet_tpu.data.augment import aug_albu, build_color_augmentor
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 255, (64, 80, 3)).astype(np.float32)
+    outs = []
+    for seed in range(8):
+        out = aug_albu(img.copy(), np.random.RandomState(seed))
+        assert out.shape == img.shape
+        assert out.min() >= 0 and out.max() <= 255
+        outs.append(out)
+    # at least one seed changes the image and seeds differ from each other
+    assert any(np.abs(o - img).max() > 1 for o in outs)
+    assert any(np.abs(outs[0] - o).max() > 1 for o in outs[1:])
+    # deterministic
+    a = aug_albu(img.copy(), np.random.RandomState(5))
+    b = aug_albu(img.copy(), np.random.RandomState(5))
+    np.testing.assert_array_equal(a, b)
+    assert build_color_augmentor("code_albu") is aug_albu

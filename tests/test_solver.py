@@ -167,3 +167,43 @@ def test_grad_clip_wired():
     s2 = opt2.init(params)
     u2, _ = opt2.update({"w": jnp.full(3, 100.0)}, s2, params)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(u2["w"])), 0.5, rtol=1e-5)
+
+
+def test_grad_accumulation_matches_full_batch():
+    """SOLVER.GRAD_ACCUM_STEPS=k: k micro-batch steps == one full-batch step
+    (optax.MultiSteps averages grads; exact for SGD on mean-reduced loss)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gdrnet_tpu.config import base_config
+    from gdrnet_tpu.solver import build_optimizer
+
+    rng = np.random.RandomState(0)
+    X = jnp.asarray(rng.randn(8, 4), jnp.float32)
+    y = jnp.asarray(rng.randn(8), jnp.float32)
+    w0 = {"backbone": jnp.asarray(rng.randn(4), jnp.float32)}
+
+    def loss(w, xb, yb):
+        return jnp.mean((xb @ w["backbone"] - yb) ** 2)
+
+    cfg = base_config()
+    cfg.SOLVER.OPTIMIZER_CFG = dict(type="SGD", lr=0.1, momentum=0.0,
+                                    weight_decay=0.0)
+    # full batch, no accumulation
+    tx = build_optimizer(cfg)
+    st = tx.init(w0)
+    g = jax.grad(loss)(w0, X, y)
+    up, _ = tx.update(g, st, w0)
+    w_full = jax.tree_util.tree_map(lambda a, b: a + b, w0, up)
+
+    # two half batches with accumulation
+    cfg.SOLVER.GRAD_ACCUM_STEPS = 2
+    tx2 = build_optimizer(cfg)
+    st2 = tx2.init(w0)
+    w = w0
+    for lo, hi in ((0, 4), (4, 8)):
+        g = jax.grad(loss)(w, X[lo:hi], y[lo:hi])
+        up, st2 = tx2.update(g, st2, w)
+        w = jax.tree_util.tree_map(lambda a, b: a + b, w, up)
+    np.testing.assert_allclose(np.asarray(w["backbone"]),
+                               np.asarray(w_full["backbone"]), atol=1e-6)
