@@ -1,0 +1,51 @@
+# LM-O real + blender renders — port of the reference
+# configs/gdrn/lmo/a6_cPnP_AugAAETrunc_BG0.5_lmo_real_blender_160e.py.
+_base_ = ["../../_base_/gdrn_base.py"]
+
+OUTPUT_DIR = "output/gdrn/lmo/a6_cPnP_AugAAETrunc_BG0.5_lmo_real_blender_160e"
+
+INPUT = dict(
+    DZI_PAD_SCALE=1.5,
+    TRUNCATE_FG=True,
+    CHANGE_BG_PROB=0.5,
+    COLOR_AUG_PROB=0.8,
+    COLOR_AUG_TYPE="code",
+)
+
+SOLVER = dict(
+    IMS_PER_BATCH=24,
+    TOTAL_EPOCHS=160,
+    OPTIMIZER_CFG=dict(_delete_=True, type="Ranger", lr=1e-4, weight_decay=0),
+)
+
+DATASETS = dict(
+    TRAIN=("lmo_train", "lmo_blender_train"),
+    TEST=("lmo_test",),
+    SYM_OBJS=["eggbox", "glue"],
+)
+
+MODEL = dict(
+    LOAD_DETS_TEST=True,
+    CDPN=dict(
+        ROT_HEAD=dict(
+            NUM_CLASSES=8,
+            XYZ_LW=1.0,
+            NUM_REGIONS=64,
+        ),
+        PNP_NET=dict(
+            REGION_ATTENTION=True,
+            WITH_2D_COORD=True,
+            ROT_TYPE="allo_rot6d",
+            TRANS_TYPE="centroid_z",
+            PM_NORM_BY_EXTENT=True,
+            PM_R_ONLY=True,
+            CENTROID_LOSS_TYPE="L1",
+            CENTROID_LW=1.0,
+            Z_LOSS_TYPE="L1",
+            Z_LW=1.0,
+        ),
+        TRANS_HEAD=dict(ENABLED=False),
+    ),
+)
+
+TEST = dict(EVAL_PERIOD=0, VIS=False, TEST_BBOX_TYPE="est")

@@ -1,15 +1,15 @@
-# Auto-generated per-object (SO) config — reference family
-# configs/gdrn/lmoSO/a6_cPnP_AugAAETrunc_BG0.5_lmo_real_pbr0.1_80e/ (one config per object).
+# Per-object (SO) config — reference family configs/gdrn/lmoSO/
+# a6_cPnP_AugAAETrunc_BG0.5_lmo_real_pbr0.1_80e_SO/ (one config per object:
+# TRAIN = LM real "all" idx split of the object, TRAIN2 = per-object LMO PBR).
 _base_ = ["../lmo/a6_cPnP_AugAAETrunc_BG0.5_lmo_real_pbr0.1_40e.py"]
 
-OBJ_NAME = "ape"
 OUTPUT_DIR = "output/gdrn/lmoSO/a6_cPnP_AugAAETrunc_BG0.5_lmo_real_pbr0.1_80e_ape"
 
 SOLVER = dict(TOTAL_EPOCHS=80)
 
 DATASETS = dict(
-    TRAIN=("lm_real_ape_train",),
-    TRAIN2=("lmo_pbr_train",),
+    TRAIN=("lm_real_ape_all",),
+    TRAIN2=("lmo_pbr_ape_train",),
     TRAIN2_RATIO=0.1,
     TEST=("lmo_test",),
 )

@@ -49,10 +49,13 @@ def load_bop_scene_dicts(
     with_masks: bool = True,
     with_xyz: bool = True,
     cache_dir: str | None = None,
+    im_ids: dict[int, set[int]] | None = None,
 ) -> list[dict]:
     """split_dir: e.g. <data_root>/test or <data_root>/train_pbr.
     objs: restrict to these object names (reference SELECTED_OBJS / per-object
-    SO splits, lm_dataset_d2.py:56)."""
+    SO splits, lm_dataset_d2.py:56). im_ids: optional {scene_id: {im_id,...}}
+    filter — the reference's image_set/<obj>_<split>.txt idx-file splits
+    (lm_dataset_d2.py:103-107 reads `indices` from ann_files)."""
     split_path = osp.join(meta.data_root, split_dir) if not osp.isabs(split_dir) else split_dir
     if scenes is None:
         scenes = sorted(
@@ -63,7 +66,10 @@ def load_bop_scene_dicts(
 
     cache_key = hashlib.md5(
         json.dumps([meta.name, split_path, scenes, sorted(sel_objs), visib_thr,
-                    img_type, with_masks, with_xyz]).encode()).hexdigest()
+                    img_type, with_masks, with_xyz,
+                    None if im_ids is None else
+                    {str(k): sorted(v) for k, v in im_ids.items()}]
+                   ).encode()).hexdigest()
     if cache_dir:
         cache_path = osp.join(cache_dir, f"bop_dicts_{meta.name}_{cache_key}.pkl")
         if osp.exists(cache_path):
@@ -76,8 +82,11 @@ def load_bop_scene_dicts(
         gt = _scene_json(scene_dir, "scene_gt.json")
         gt_info = _scene_json(scene_dir, "scene_gt_info.json")
         cams = _scene_json(scene_dir, "scene_camera.json")
+        allowed = None if im_ids is None else im_ids.get(scene_id, set())
         for im_id_s, insts in gt.items():
             im_id = int(im_id_s)
+            if allowed is not None and im_id not in allowed:
+                continue
             K = np.asarray(cams[im_id_s]["cam_K"], np.float32).reshape(3, 3)
             rgb_path = _find_rgb(scene_dir, im_id)
             infos = gt_info[im_id_s]
@@ -115,6 +124,13 @@ def load_bop_scene_dicts(
                         scene_dir, "mask_visib", f"{im_id:06d}_{inst_i:06d}.png")
                 if with_xyz:
                     xyz_p = osp.join(scene_dir, "xyz_crop", f"{im_id:06d}_{inst_i:06d}.pkl")
+                    if not osp.exists(xyz_p):
+                        # reference artifact layout: <split>/xyz_crop/<scene>/
+                        # <im>_<inst>-xyz.pkl (lm_pbr.py:41,166)
+                        ref_p = osp.join(split_path, "xyz_crop", f"{scene_id:06d}",
+                                         f"{im_id:06d}_{inst_i:06d}-xyz.pkl")
+                        if osp.exists(ref_p):
+                            xyz_p = ref_p
                     rec["xyz_path"] = xyz_p
                 records.append(rec)
 

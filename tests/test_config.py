@@ -52,7 +52,18 @@ def test_apply_opts():
       "MODEL.CDPN.ROT_HEAD.NUM_CLASSES": 21}),
     ("configs/gdrn/lmoSO/a6_cPnP_AugAAETrunc_BG0.5_lmo_real_pbr0.1_80e_ape.py",
      {"SOLVER.TOTAL_EPOCHS": 80, "MODEL.CDPN.ROT_HEAD.NUM_CLASSES": 1,
-      "DATASETS.TRAIN": ("lm_real_ape_train",)}),
+      "DATASETS.TRAIN": ("lm_real_ape_all",),
+      "DATASETS.TRAIN2": ("lmo_pbr_ape_train",)}),
+    ("configs/gdrn/lmoSO/a6_cPnP_AugAAETrunc_BG0.5_lmoRealBl_160e_duck.py",
+     {"SOLVER.TOTAL_EPOCHS": 160,
+      "DATASETS.TRAIN": ("lm_real_duck_all", "lmo_blender_duck_train")}),
+    ("configs/gdrn/ycbvSO/"
+     "a6_cPnP_AugAAETrunc_BG0.5_ycbv_real_pbr_visib20_20e_024_bowl_Rsym.py",
+     {"SOLVER.TOTAL_EPOCHS": 20, "MODEL.CDPN.PNP_NET.PM_LOSS_SYM": True,
+      "DATASETS.TRAIN": ("ycbv_024_bowl_train_real", "ycbv_024_bowl_train_pbr")}),
+    ("configs/gdrn/ycbvSO/"
+     "a6_cPnP_AugAAETrunc_BG0.5_ycbv_real_pbr_visib20_20e_025_mug.py",
+     {"MODEL.CDPN.PNP_NET.PM_LOSS_SYM": False}),
 ])
 def test_experiment_configs_load(path, checks):
     file_cfg = load_config(osp.join(REPO, path))
@@ -74,3 +85,13 @@ def test_train_cli_setup():
     cfg = setup(args)
     assert cfg.SOLVER.IMS_PER_BATCH == 8
     assert cfg.OUTPUT_DIR == "output/gdrn/lm/a6_cPnP_lm13"
+
+
+def test_all_experiment_configs_load():
+    import glob
+    paths = glob.glob(osp.join(REPO, "configs/gdrn/**/*.py"), recursive=True)
+    assert len(paths) >= 54  # lm + lmSO(13) + lmo(2) + lmoSO(16) + ycbv + ycbvSO(21)
+    for p in paths:
+        file_cfg = load_config(p)
+        cfg = Config(merge_dict(base_config().to_dict(), file_cfg.to_dict()))
+        assert cfg.OUTPUT_DIR, p

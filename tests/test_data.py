@@ -203,3 +203,83 @@ def test_aug_albu_family():
     b = aug_albu(img.copy(), np.random.RandomState(5))
     np.testing.assert_array_equal(a, b)
     assert build_color_augmentor("code_albu") is aug_albu
+
+
+# ---------------------------------------------------------------------------
+# dataset_factory split-name parsing (reference SPLITS_* naming,
+# lm_dataset_d2.py:303+, ycbv_d2.py SO splits)
+
+def _mini_bop_scene(scene_dir, insts_per_im, K):
+    """Minimal BOP scene: 1x1 rgb pngs + the three jsons. insts_per_im:
+    {im_id: [obj_id, ...]}."""
+    import cv2, json, os
+    import os.path as osp
+    os.makedirs(osp.join(scene_dir, "rgb"), exist_ok=True)
+    gt, gt_info, cam = {}, {}, {}
+    for im_id, obj_ids in insts_per_im.items():
+        cv2.imwrite(osp.join(scene_dir, "rgb", f"{im_id:06d}.png"),
+                    np.zeros((2, 2, 3), np.uint8))
+        gt[str(im_id)] = [{"cam_R_m2c": np.eye(3).reshape(-1).tolist(),
+                           "cam_t_m2c": [0.0, 0.0, 500.0], "obj_id": oid}
+                          for oid in obj_ids]
+        gt_info[str(im_id)] = [{"bbox_visib": [0, 0, 2, 2], "bbox_obj": [0, 0, 2, 2],
+                                "visib_fract": 1.0} for _ in obj_ids]
+        cam[str(im_id)] = {"cam_K": K.reshape(-1).tolist(), "depth_scale": 1.0}
+    for name, obj in (("scene_gt.json", gt), ("scene_gt_info.json", gt_info),
+                      ("scene_camera.json", cam)):
+        with open(osp.join(scene_dir, name), "w") as fp:
+            json.dump(obj, fp)
+
+
+def test_lm_image_set_splits(tmp_path):
+    """lm_real_<obj>_{train,test,all} resolve via image_set idx files over
+    the object's test/ scene (lm_dataset_d2.py:310-392)."""
+    import os
+    import os.path as osp
+    from gdrnet_tpu.data.dataset_factory import resolve
+    from gdrnet_tpu.data.ref_meta import get_meta
+
+    root = str(tmp_path)
+    meta = get_meta("lm", root)
+    K = meta.camera_matrix
+    ape_id = meta.obj2id["ape"]  # scene == obj id for LM real
+    _mini_bop_scene(osp.join(meta.data_root, "test", f"{ape_id:06d}"),
+                    {0: [ape_id], 1: [ape_id], 2: [ape_id]}, K)
+    iset = osp.join(meta.data_root, "image_set")
+    os.makedirs(iset)
+    with open(osp.join(iset, "ape_train.txt"), "w") as f:
+        f.write("0\n1\n")
+    with open(osp.join(iset, "ape_test.txt"), "w") as f:
+        f.write("2\n")
+    with open(osp.join(iset, "ape_all.txt"), "w") as f:
+        f.write("0\n1\n2\n")
+
+    _, train = resolve("lm_real_ape_train", root)
+    _, test = resolve("lm_real_ape_test", root)
+    _, allr = resolve("lm_real_ape_all", root)
+    assert [r["im_id"] for r in train] == [0, 1]
+    assert [r["im_id"] for r in test] == [2]
+    assert len(allr) == 3 and all(r["label"] == "ape" for r in allr)
+
+    # lmo_train = the LM real "all" split of the LMO objects (here only ape
+    # data exists on disk -> restrict via the per-object blender-family name)
+    lmo_meta, recs = resolve("lmo_ape_train", root)
+    assert lmo_meta.name == "lmo" and [r["im_id"] for r in recs] == [0, 1, 2]
+
+
+def test_ycbv_per_object_splits(tmp_path):
+    """ycbv_<obj>_train_real filters instances to the named object
+    (reference ycbv_d2.py per-object SO splits)."""
+    import os.path as osp
+    from gdrnet_tpu.data.dataset_factory import resolve
+    from gdrnet_tpu.data.ref_meta import get_meta
+
+    root = str(tmp_path)
+    meta = get_meta("ycbv", root)
+    bowl, mug = meta.obj2id["024_bowl"], meta.obj2id["025_mug"]
+    _mini_bop_scene(osp.join(meta.data_root, "train_real", "000000"),
+                    {0: [bowl, mug], 1: [mug]}, meta.camera_matrix)
+    _, bowl_recs = resolve("ycbv_024_bowl_train_real", root)
+    assert len(bowl_recs) == 1 and bowl_recs[0]["label"] == "024_bowl"
+    _, all_recs = resolve("ycbv_train_real", root)
+    assert len(all_recs) == 3
