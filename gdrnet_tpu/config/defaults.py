@@ -90,7 +90,11 @@ _DEFAULTS = dict(
         # >1: average grads over k micro-batches per optimizer step
         GRAD_ACCUM_STEPS=1,
     ),
-    TRAIN=dict(PRINT_FREQ=100, VERBOSE=False, VIS=False, VIS_IMG=False),
+    TRAIN=dict(PRINT_FREQ=100, VERBOSE=False, VIS=False, VIS_IMG=False,
+               # jax.profiler trace of [PROFILE_START, PROFILE_STOP) train
+               # iters into <PROFILE_DIR>; "" disables (SURVEY.md §5 tracing
+               # plan — the reference has no profiler integration)
+               PROFILE_DIR="", PROFILE_START=10, PROFILE_STOP=15),
     VAL=dict(
         DATASET_NAME="lm",
         RESULTS_PATH="",

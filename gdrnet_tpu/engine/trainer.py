@@ -197,9 +197,21 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
     eval_every = cfg.TEST.EVAL_PERIOD * iters_per_epoch if cfg.TEST.EVAL_PERIOD else 0
     print_every = cfg.TRAIN.PRINT_FREQ
 
+    prof_dir, prof_active = cfg.TRAIN.PROFILE_DIR, False
     batch = batch_dev
     for it in range(start_iter, total_iters):
+        # profiler window: trace a few steady-state iters (TRAIN.PROFILE_*)
+        if prof_dir and it == cfg.TRAIN.PROFILE_START and not prof_active:
+            jax.profiler.start_trace(prof_dir)
+            prof_active = True
+        if prof_active and it == cfg.TRAIN.PROFILE_STOP:
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+            prof_active = False
+            logger.info(f"profiler trace written to {prof_dir}")
         if preempted["flag"]:
+            if prof_active:
+                jax.profiler.stop_trace()
             ckpt.save(state, it)
             ckpt.wait()
             logger.warning(f"preempted: saved step {it}; resume with --resume")
@@ -278,6 +290,10 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
                 state = state.replace(batch_stats=new_vars["batch_stats"])
             eval_fn(cfg, state, models)
 
+    if prof_active:  # window ran past the end of training
+        jax.block_until_ready(state.params)
+        jax.profiler.stop_trace()
+        logger.info(f"profiler trace written to {prof_dir}")
     for sig, h in prev_handlers.items():
         signal.signal(sig, h)
     ckpt.save(state, total_iters)

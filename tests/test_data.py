@@ -283,3 +283,25 @@ def test_ycbv_per_object_splits(tmp_path):
     assert len(bowl_recs) == 1 and bowl_recs[0]["label"] == "024_bowl"
     _, all_recs = resolve("ycbv_train_real", root)
     assert len(all_recs) == 3
+
+
+def test_xyz_path_reference_layout_fallback(tmp_path):
+    """When <scene>/xyz_crop/<im>_<inst>.pkl is absent but the reference's
+    <split>/xyz_crop/<scene>/<im>_<inst>-xyz.pkl exists, records point at the
+    reference artifact (lm_pbr.py:41,166 layout) — reference-generated GT
+    drops in unchanged."""
+    import os
+    import os.path as osp
+    from gdrnet_tpu.data.dataset_factory import resolve
+    from gdrnet_tpu.data.ref_meta import get_meta
+
+    root = str(tmp_path)
+    meta = get_meta("lmo", root)
+    _mini_bop_scene(osp.join(meta.data_root, "train_pbr", "000000"),
+                    {0: [meta.obj2id["ape"]]}, meta.camera_matrix)
+    ref_dir = osp.join(meta.data_root, "train_pbr", "xyz_crop", "000000")
+    os.makedirs(ref_dir)
+    ref_pkl = osp.join(ref_dir, "000000_000000-xyz.pkl")
+    open(ref_pkl, "wb").close()
+    _, recs = resolve("lmo_pbr_train", root)
+    assert recs[0]["xyz_path"] == ref_pkl

@@ -73,10 +73,17 @@ def test_train_eval_resume(fixture_env, tmp_path):
 
     meta, root = fixture_env
     cfg = _tiny_cfg(tmp_path / "out")
+    # profiler window (TRAIN.PROFILE_*) piggybacks on this run
+    cfg.TRAIN.PROFILE_DIR = str(tmp_path / "trace")
+    cfg.TRAIN.PROFILE_START, cfg.TRAIN.PROFILE_STOP = 10, 12
 
     # --- train 40 iters, capture metrics.json for the loss trajectory
     state, models = do_train(cfg, max_iters_override=60)
     assert int(state.step) == 60
+
+    import glob
+    assert glob.glob(str(tmp_path / "trace" / "**" / "*.xplane.pb"),
+                     recursive=True), "profiler trace not written"
 
     import json
     with open(osp.join(cfg.OUTPUT_DIR, "metrics.json")) as f:
