@@ -90,7 +90,22 @@ def do_test(cfg, model, variables, models, records: list[dict],
     evaluator = CustomEvaluator(
         models.objs, models.points, models.diameters,
         sym_objs=[o for o in cfg.DATASETS.SYM_OBJS if o in models.objs],
-        sym_rots={k: v for k, v in models.sym_rots.items() if v is not None})
+        sym_rots={k: v for k, v in models.sym_rots.items() if v is not None},
+        eval_precision=cfg.VAL.get("EVAL_PRECISION", False))
+
+    # GT instances with no detection are recall failures (reference
+    # gdrn_custom_evaluator.py:552-556); count them once (shard 0) so the
+    # multi-shard gather sums to the true total.
+    if shard == 0 and detections is not None:
+        gt_objs_by_img: dict = defaultdict(set)
+        for r in records:
+            gt_objs_by_img[(r["scene_id"], r["im_id"])].add(int(r["obj_id"]))
+        for key, gt_objs in gt_objs_by_img.items():
+            det_objs = {int(d["obj_id"]) for d in detections.get(key, [])}
+            for oid in gt_objs - det_objs:
+                name = models.meta.id2obj.get(oid)
+                if name is not None and name in models.points:
+                    evaluator.record_missing(name)
 
     # TPU-first packing: flatten every (image, detection) into one stream and
     # fill each static bucket COMPLETELY (the reference batches per image,
@@ -170,12 +185,15 @@ def do_test(cfg, model, variables, models, records: list[dict],
     if num_shards > 1:
         # gather every shard's raw (pose, gt) pairs, then score globally
         gathered = mh.all_gather_objects(
-            {"bop": bop_results, "preds": dict(evaluator._preds)})
+            {"bop": bop_results, "preds": dict(evaluator._preds),
+             "missing": dict(evaluator._missing)})
         bop_results = [r for g in gathered for r in g["bop"]]
         evaluator.reset()
         for g in gathered:
             for name, items_ in g["preds"].items():
                 evaluator._preds[name].extend(items_)
+            for name, n in g.get("missing", {}).items():
+                evaluator._missing[name] += n
 
     results = evaluator.evaluate()
     if output_dir and save_csv and mh.is_main_process():

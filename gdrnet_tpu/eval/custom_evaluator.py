@@ -10,6 +10,12 @@ rete_2/5/10 (deg, m), re_2/5/10, te_2/5/10, proj_2/5/10 (px), plus mean
 errors and VOCap AUC columns. Symmetric objects (DATASETS.SYM_OBJS) use the
 closest symmetric gt rotation for re/proj and ADI for ad (reference
 :565-575).
+
+Recall vs precision (VAL.EVAL_PRECISION, reference :77-84): recall counts GT
+instances with no prediction as failures (reference :552-556 appends 0.0 for
+"no pred found"); precision — as in DPOD — ignores undetected GTs
+(:728-734 "just ignore undetected"). Mean errors are over matched pairs in
+both modes. Register undetected GTs with `record_missing`.
 """
 
 from __future__ import annotations
@@ -34,7 +40,7 @@ class CustomEvaluator:
     def __init__(self, obj_names: list[str], model_points: dict[str, np.ndarray],
                  diameters: dict[str, float], sym_objs: list[str] | None = None,
                  sym_rots: dict[str, np.ndarray] | None = None,
-                 with_auc: bool = False):
+                 with_auc: bool = False, eval_precision: bool = False):
         """model_points: per-object [N,3] sampled vertices (metres);
         diameters in metres; sym_rots: per-sym-object [K,3,3]."""
         self.obj_names = list(obj_names)
@@ -43,10 +49,17 @@ class CustomEvaluator:
         self.sym_objs = list(sym_objs or [])
         self.sym_rots = {k: np.asarray(v, np.float32) for k, v in (sym_rots or {}).items()}
         self.with_auc = with_auc
+        self.eval_precision = eval_precision
         self.reset()
 
     def reset(self):
         self._preds = defaultdict(list)
+        self._missing = defaultdict(int)
+
+    def record_missing(self, obj_name: str, n: int = 1):
+        """Register n GT instances of obj_name with no prediction (counted
+        as recall failures unless eval_precision)."""
+        self._missing[obj_name] += n
 
     def process(self, obj_name: str, R_pred, t_pred, R_gt, t_gt, K):
         """Register one prediction/GT pair (camera-frame, metres)."""
@@ -117,13 +130,36 @@ class CustomEvaluator:
             }
             if self.with_auc:
                 row["auc_ad_10"] = PE.vocap_auc(ad_err, max_val=0.1)
+            miss = 0 if self.eval_precision else self._missing.get(name, 0)
+            if miss:  # undetected GTs are recall failures (reference :552-556)
+                scale = B / (B + miss)
+                for k in RECALL_KEYS:
+                    row[k] *= scale
+                if self.with_auc:
+                    row["auc_ad_10"] *= scale
+                row["count"] = B + miss
+                row["n_missing"] = miss
             results[name] = row
+
+        if not self.eval_precision:
+            # objects whose every GT went undetected: all-zero recall rows
+            # (reference recall appends 0.0 per gt; mean errors undefined)
+            for name, miss in self._missing.items():
+                if name in results or name not in self.model_points:
+                    continue
+                row = {k: 0.0 for k in RECALL_KEYS}
+                row.update(mean_re=np.nan, mean_te=np.nan, mean_ad=np.nan,
+                           mean_proj=np.nan, count=miss, n_missing=miss)
+                if self.with_auc:
+                    row["auc_ad_10"] = 0.0
+                results[name] = row
 
         if results:
             avg = {}
-            keys = [k for k in next(iter(results.values())) if k != "count"]
+            keys = [k for k in next(iter(results.values()))
+                    if k not in ("count", "n_missing")]
             for k in keys:
-                avg[k] = float(np.mean([r[k] for r in results.values()]))
+                avg[k] = float(np.nanmean([r[k] for r in results.values() if k in r]))
             avg["count"] = int(sum(r["count"] for r in results.values()))
             results["Avg"] = avg
         return results

@@ -121,6 +121,32 @@ def test_train_eval_resume(fixture_env, tmp_path):
     assert len(loaded) == 8  # 4 images x 2 objects
     assert "objects" in results["_summary"]
 
+    # --- est-detections eval: brick has no detections anywhere -> its GTs
+    # are recall failures (reference gdrn_custom_evaluator.py:552-556)
+    import json as _json
+    det_path = osp.join(cfg.OUTPUT_DIR, "dets.json")
+    cube_id = models.meta.obj2id["cube"]
+    dets = [{"scene_id": r["scene_id"], "im_id": r["im_id"], "obj_id": cube_id,
+             "bbox_est": [float(v) for v in r["bbox_visib"]], "score": 0.9}
+            for r in records if r["obj_id"] == cube_id]
+    with open(det_path, "w") as f:
+        _json.dump(dets, f)
+    cfg.DATASETS.DET_FILES_TEST = (det_path,)
+    cfg.TEST.TEST_BBOX_TYPE = "est"
+    rdet = do_test(cfg, model, state.variables(), models, records,
+                   output_dir=osp.join(cfg.OUTPUT_DIR, "est"))
+    assert rdet["cube"]["count"] == 4 and "n_missing" not in rdet["cube"]
+    assert rdet["brick"]["n_missing"] == 4 and rdet["brick"]["ad_10"] == 0.0
+    # precision mode ignores the undetected brick GTs entirely
+    cfg.VAL.EVAL_PRECISION = True
+    rprec = do_test(cfg, model, state.variables(), models, records,
+                    output_dir=osp.join(cfg.OUTPUT_DIR, "est_prec"),
+                    save_csv=False)
+    assert "brick" not in rprec and rprec["cube"]["count"] == 4
+    cfg.VAL.EVAL_PRECISION = False
+    cfg.TEST.TEST_BBOX_TYPE = "gt"
+    cfg.DATASETS.DET_FILES_TEST = ()
+
     # --- int8 serving x device-side cropping (full serving matrix): the
     # quantized convs must compose with TEST.DEVICE_PREPROCESS and produce
     # poses tracking the bf16 eval

@@ -192,3 +192,39 @@ def test_latex_report_and_plots(tmp_path):
     plot_t_err_recall(rng.rand(32, 3) * 0.05, p1)
     plot_err_hist(rng.rand(32) * 10, p2, xlabel="rotation err [deg]")
     assert osp.getsize(p1) > 1000 and osp.getsize(p2) > 1000
+
+
+def test_custom_evaluator_missing_recall_vs_precision(rng):
+    """Undetected GTs count as recall failures (reference
+    gdrn_custom_evaluator.py:552-556) but are ignored in precision mode
+    (:728-734); fully-undetected objects get all-zero recall rows."""
+    pts = (rng.rand(100, 3).astype(np.float32) - 0.5) * 0.1
+    d = float(np.linalg.norm(pts.max(0) - pts.min(0)))
+    K = np.asarray([[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1]], np.float32)
+    Rg = _rand_rot(rng, 4)
+    tg = rng.rand(4, 3).astype(np.float32) * 0.1 + np.array([0, 0, 0.6], np.float32)
+
+    ev = CustomEvaluator(["ape", "duck"], {"ape": pts, "duck": pts},
+                         {"ape": d, "duck": d})
+    for i in range(4):  # 4 perfect matches + 4 undetected ape GTs
+        ev.process("ape", Rg[i], tg[i], Rg[i], tg[i], K)
+    ev.record_missing("ape", 4)
+    ev.record_missing("duck", 2)  # duck never detected at all
+    res = ev.evaluate()
+    assert res["ape"]["ad_10"] == 0.5 and res["ape"]["count"] == 8
+    assert res["ape"]["n_missing"] == 4
+    assert res["ape"]["mean_re"] < 1e-3  # means stay over matched pairs
+    assert res["duck"]["ad_10"] == 0.0 and res["duck"]["count"] == 2
+    assert res["Avg"]["ad_10"] == 0.25
+    assert np.isfinite(res["Avg"]["mean_re"])  # nanmean skips duck's nan
+
+    # precision mode: undetected GTs ignored entirely
+    evp = CustomEvaluator(["ape", "duck"], {"ape": pts, "duck": pts},
+                          {"ape": d, "duck": d}, eval_precision=True)
+    for i in range(4):
+        evp.process("ape", Rg[i], tg[i], Rg[i], tg[i], K)
+    evp.record_missing("ape", 4)
+    evp.record_missing("duck", 2)
+    resp = evp.evaluate()
+    assert resp["ape"]["ad_10"] == 1.0 and resp["ape"]["count"] == 4
+    assert "duck" not in resp
