@@ -201,6 +201,19 @@ def do_test(cfg, model, variables, models, records: list[dict],
             output_dir, f"{models.meta.name}-test_gdrnet-tpu.csv")
         save_bop_results(csv_path, bop_results)
         results["_csv_path"] = csv_path
+    if cfg.VAL.get("USE_BOP") and mh.is_main_process():
+        # in-process BOP-toolkit-style scoring over VAL.ERROR_TYPES
+        # (reference spawns eval_pose_results_more.py subprocesses,
+        # test_utils.py:33-75; here eval/bop_score.py scores directly)
+        from gdrnet_tpu.eval.bop_score import score_results, bop19_average_recall
+
+        results["_bop"] = score_results(
+            bop_results, records, models,
+            error_types=cfg.VAL.ERROR_TYPES, n_top=cfg.VAL.N_TOP,
+            sym_objs=[o for o in cfg.DATASETS.SYM_OBJS if o in models.objs],
+            image_width=models.meta.width,
+            precision=cfg.VAL.get("EVAL_PRECISION", False))
+        results["_bop_average_recall"] = bop19_average_recall(results["_bop"])
     if n_buckets:
         results["_time"] = {"compute_s_per_bucket": total_compute / n_buckets,
                             "process_s_per_bucket": total_process / n_buckets,

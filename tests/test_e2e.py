@@ -105,12 +105,18 @@ def test_train_eval_resume(fixture_env, tmp_path):
         np.asarray(restored.params["pnp_net"]["fc_r"]["kernel"]),
         np.asarray(state.params["pnp_net"]["fc_r"]["kernel"]))
 
-    # --- test loop: inference + evaluator + BOP CSV
+    # --- test loop: inference + evaluator + BOP CSV (+ in-process BOP
+    # scoring over VAL.ERROR_TYPES, reference VAL.USE_BOP)
     model = build_model(cfg)
     _, records = resolve("fixture_test")
+    cfg.VAL.USE_BOP = True
+    cfg.VAL.ERROR_TYPES = "ad,rete,proj"
     results = do_test(cfg, model, state.variables(), models, records,
                       output_dir=cfg.OUTPUT_DIR)
     assert "Avg" in results
+    assert set(results["_bop"]) == {"ad", "rete", "proj"}
+    assert 0.0 <= results["_bop"]["ad"]["avg"] <= 1.0
+    assert 0.0 <= results["_bop_average_recall"] <= 1.0
     for name in ("cube", "brick"):
         assert name in results
         assert 0.0 <= results[name]["ad_10"] <= 1.0
