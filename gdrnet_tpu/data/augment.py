@@ -203,12 +203,197 @@ def aug_albu(img, rng):
     return np.clip(img, 0, 255)
 
 
-def build_color_augmentor(aug_type: str = "ROI10D") -> Callable:
+# ---------------------------------------------------------------------------
+# imgaug code-string interpreter (reference base_data_loader.py:196-208:
+# aug_type "code" evals cfg.INPUT.COLOR_AUG_CODE with imgaug constructors in
+# scope; "aae" evals a fixed built-in string, :168-186). Here the same DSL
+# evaluates against numpy/cv2 ops in a restricted namespace — identical
+# composition/probabilities, distributional (not bitwise-RNG) parity.
+# ---------------------------------------------------------------------------
+
+
+def _rand_param(v, rng):
+    """imgaug stochastic parameter: scalar -> itself, (lo, hi) -> uniform."""
+    if isinstance(v, (tuple, list)) and len(v) == 2:
+        return rng.uniform(v[0], v[1])
+    return float(v)
+
+
+def _per_channel_param(v, rng, per_channel, nch):
+    """Sample a value per channel w.p. per_channel (imgaug semantics:
+    True -> always, float p -> with probability p), else one value."""
+    pc = 1.0 if per_channel is True else float(per_channel or 0.0)
+    if rng.rand() < pc:
+        return np.array([_rand_param(v, rng) for _ in range(nch)],
+                        np.float32).reshape(1, 1, nch)
+    return _rand_param(v, rng)
+
+
+def _iaa_sequential(children, random_order=False):
+    def op(img, rng):
+        order = rng.permutation(len(children)) if random_order else range(len(children))
+        for i in order:
+            img = children[i](img, rng)
+        return img
+    return op
+
+
+def _iaa_sometimes(p, child):
+    def op(img, rng):
+        return child(img, rng) if rng.rand() < p else img
+    return op
+
+
+def _iaa_oneof(children):
+    def op(img, rng):
+        return children[rng.randint(len(children))](img, rng)
+    return op
+
+
+def _iaa_coarse_dropout(p=0.1, size_percent=0.05, per_channel=0.0):
+    def op(img, rng):
+        return aug_coarse_dropout(img, rng, p_px=_rand_param(p, rng),
+                                  size_frac=_rand_param(size_percent, rng))
+    return op
+
+
+def _iaa_gaussian_blur(sigma=1.0):
+    def op(img, rng):
+        s = _rand_param(sigma, rng)
+        if s < 1e-3:
+            return img
+        k = max(3, int(2 * round(2 * s) + 1))
+        u8 = np.clip(img, 0, 255).astype(np.uint8)
+        return cv2.GaussianBlur(u8, (k, k), s)
+    return op
+
+
+def _iaa_add(value=(-20, 20), per_channel=0.0):
+    def op(img, rng):
+        v = _per_channel_param(value, rng, per_channel, img.shape[2])
+        return np.clip(img.astype(np.float32) + v, 0, 255).astype(np.uint8)
+    return op
+
+
+def _iaa_multiply(mul=(0.8, 1.2), per_channel=0.0):
+    def op(img, rng):
+        m = _per_channel_param(mul, rng, per_channel, img.shape[2])
+        return np.clip(img.astype(np.float32) * m, 0, 255).astype(np.uint8)
+    return op
+
+
+def _iaa_linear_contrast(alpha=(0.6, 1.4), per_channel=0.0):
+    def op(img, rng):
+        a = _per_channel_param(alpha, rng, per_channel, img.shape[2])
+        return np.clip((img.astype(np.float32) - 127.0) * a + 127.0,
+                       0, 255).astype(np.uint8)
+    return op
+
+
+def _iaa_invert(p=0.5, per_channel=False):
+    def op(img, rng):
+        out = img.copy()
+        if per_channel:
+            pc = 1.0 if per_channel is True else float(per_channel)
+            if rng.rand() < pc:
+                for c in range(img.shape[2]):
+                    if rng.rand() < p:
+                        out[..., c] = 255 - out[..., c]
+                return out
+        if rng.rand() < p:
+            out = 255 - out
+        return out
+    return op
+
+
+def _iaa_additive_gaussian_noise(loc=0, scale=(0, 10), per_channel=0.0):
+    def op(img, rng):
+        s = _rand_param(scale, rng)
+        noise = rng.randn(*img.shape) * s + _rand_param(loc, rng)
+        return np.clip(img.astype(np.float32) + noise, 0, 255).astype(np.uint8)
+    return op
+
+
+def _iaa_dropout(p=0.05, per_channel=0.0):
+    def op(img, rng):
+        keep = rng.rand(*img.shape[:2]) >= _rand_param(p, rng)
+        return (img * keep[..., None]).astype(img.dtype)
+    return op
+
+
+def _iaa_grayscale(alpha=1.0):
+    def op(img, rng):
+        a = _rand_param(alpha, rng)
+        u8 = np.clip(img, 0, 255).astype(np.uint8)
+        g = cv2.cvtColor(u8, cv2.COLOR_BGR2GRAY)[..., None].astype(np.float32)
+        return np.clip((1 - a) * u8 + a * g, 0, 255).astype(np.uint8)
+    return op
+
+
+def _geometric_stub(name):
+    def ctor(*a, **k):
+        raise NotImplementedError(
+            f"{name}: geometric color-aug ops would desync bbox/xyz/mask "
+            "targets (the reference keeps them commented out in every "
+            "shipped COLOR_AUG_CODE)")
+    return ctor
+
+
+def _iaa_noop(*a, **k):
+    return lambda img, rng: img
+
+
+_AUG_NAMESPACE = {
+    "Sequential": _iaa_sequential,
+    "Sometimes": _iaa_sometimes,
+    "OneOf": _iaa_oneof,
+    "CoarseDropout": _iaa_coarse_dropout,
+    "GaussianBlur": _iaa_gaussian_blur,
+    "Add": _iaa_add,
+    "Multiply": _iaa_multiply,
+    "LinearContrast": _iaa_linear_contrast,
+    "ContrastNormalization": _iaa_linear_contrast,  # imgaug alias
+    "Invert": _iaa_invert,
+    "AdditiveGaussianNoise": _iaa_additive_gaussian_noise,
+    "Dropout": _iaa_dropout,
+    "Grayscale": _iaa_grayscale,
+    "Noop": _iaa_noop,
+    "np": np,  # configs use e.g. GaussianBlur(1.2*np.random.rand())
+}
+for _name in ("PerspectiveTransform", "CropAndPad", "Affine", "PiecewiseAffine",
+              "ElasticTransformation", "Fliplr", "Flipud", "Crop", "Pad",
+              "Scale", "Superpixels"):
+    _AUG_NAMESPACE[_name] = _geometric_stub(_name)
+
+# the reference's built-in AAE pipeline string (base_data_loader.py:173-183)
+AAE_AUG_CODE = (
+    "Sequential(["
+    "Sometimes(0.5, CoarseDropout( p=0.2, size_percent=0.05) ),"
+    "Sometimes(0.5, GaussianBlur(1.2*np.random.rand())),"
+    "Sometimes(0.5, Add((-25, 25), per_channel=0.3)),"
+    "Sometimes(0.3, Invert(0.2, per_channel=True)),"
+    "Sometimes(0.5, Multiply((0.6, 1.4), per_channel=0.5)),"
+    "Sometimes(0.5, Multiply((0.6, 1.4))),"
+    "Sometimes(0.5, LinearContrast((0.5, 2.2), per_channel=0.3))"
+    "], random_order=False)")
+
+
+def parse_aug_code(code: str) -> Callable:
+    """COLOR_AUG_CODE string -> (img, rng) -> img. Evaluated once (like the
+    reference's eval at augmentor construction — np.random expressions fix
+    their value per run) against the restricted op namespace above."""
+    return eval(code, {"__builtins__": {}}, dict(_AUG_NAMESPACE))
+
+
+def build_color_augmentor(aug_type: str = "ROI10D",
+                          aug_code: str | None = None) -> Callable:
     key = aug_type.lower()
     if key in ("roi10d",):
         return aug_roi10d
-    if key in ("aae", "code"):  # code pipelines approximate AAE
-        return aug_aae
+    if key == "aae":  # fixed built-in pipeline (base_data_loader.py:168-186)
+        return parse_aug_code(AAE_AUG_CODE)
+    if key == "code":  # cfg.INPUT.COLOR_AUG_CODE DSL (:196-208)
+        return parse_aug_code(aug_code) if aug_code else parse_aug_code(AAE_AUG_CODE)
     if key in ("albu", "code_albu"):
         return aug_albu
     if key in ("ssd",):

@@ -106,6 +106,16 @@ def xyz_to_region_np(xyz: np.ndarray, fps_points: np.ndarray) -> np.ndarray:
     return np.where(mask, region, 0).astype(np.int32)
 
 
+def read_color_image(path: str, fmt: str = "BGR") -> np.ndarray:
+    """cv2 color read honoring INPUT.FORMAT (reference read_image_cv2,
+    core/utils/data_utils.py:6 + FORMAT handling in the d2 mapper)."""
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    assert img is not None, path
+    if fmt.upper() == "RGB":
+        img = np.ascontiguousarray(img[..., ::-1])
+    return img
+
+
 class GDRNTrainMapper:
     def __init__(self, cfg, models: ObjectModels,
                  bg_replacer: BackgroundReplacer | None = None,
@@ -121,7 +131,8 @@ class GDRNTrainMapper:
         self.dzi_shift = inp.DZI_SHIFT_RATIO
         self.color_aug_prob = inp.COLOR_AUG_PROB
         self.color_aug_syn_only = inp.COLOR_AUG_SYN_ONLY
-        self.color_aug = (build_color_augmentor(inp.COLOR_AUG_TYPE)
+        self.color_aug = (build_color_augmentor(inp.COLOR_AUG_TYPE,
+                                                inp.get("COLOR_AUG_CODE"))
                           if inp.COLOR_AUG_PROB > 0 else None)
         self.change_bg_prob = inp.CHANGE_BG_PROB
         self.truncate_fg = inp.TRUNCATE_FG
@@ -166,8 +177,8 @@ class GDRNTrainMapper:
 
     # -- main ----------------------------------------------------------
     def __call__(self, rec: dict, rng: np.random.RandomState) -> dict:
-        img = cv2.imread(rec["rgb_path"], cv2.IMREAD_COLOR)
-        assert img is not None, rec["rgb_path"]
+        img = read_color_image(rec["rgb_path"],
+                               self.cfg.INPUT.get("FORMAT", "BGR"))
         im_h, im_w = img.shape[:2]
 
         xyz = self._load_xyz(rec, im_h, im_w)
@@ -277,8 +288,8 @@ class GDRNRawTrainMapper(GDRNTrainMapper):
     CPU workers, data_loader.py:304-633)."""
 
     def __call__(self, rec: dict, rng: np.random.RandomState) -> dict:
-        img = cv2.imread(rec["rgb_path"], cv2.IMREAD_COLOR)
-        assert img is not None, rec["rgb_path"]
+        img = read_color_image(rec["rgb_path"],
+                               self.cfg.INPUT.get("FORMAT", "BGR"))
         im_h, im_w = img.shape[:2]
 
         xyz = self._load_xyz(rec, im_h, im_w)
@@ -353,9 +364,9 @@ class GDRNTestMapper:
         img_cache: dict = {}
         for i, (rgb_path, K, det) in enumerate(entries):
             if rgb_path not in img_cache:
-                img_cache[rgb_path] = cv2.imread(rgb_path, cv2.IMREAD_COLOR)
+                img_cache[rgb_path] = read_color_image(
+                    rgb_path, self.cfg.INPUT.get("FORMAT", "BGR"))
             img = img_cache[rgb_path]
-            assert img is not None, rgb_path
             self._fill_roi(out, i, img, np.asarray(K, np.float32), det)
         return out
 
@@ -490,8 +501,8 @@ class GDRNDeviceTestMapper(GDRNTestMapper):
         scales = np.ones(bs, np.float32)
         for i, (rgb_path, K, det) in enumerate(entries):
             if rgb_path not in paths:
-                img = cv2.imread(rgb_path, cv2.IMREAD_COLOR)
-                assert img is not None, rgb_path
+                img = read_color_image(rgb_path,
+                                       self.cfg.INPUT.get("FORMAT", "BGR"))
                 paths[rgb_path] = len(img_list)
                 img_list.append(img)
             img = img_list[paths[rgb_path]]

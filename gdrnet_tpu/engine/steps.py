@@ -83,7 +83,7 @@ def make_train_step(cfg, model, optimizer: optax.GradientTransformation,
         return jax.jit(train_step, donate_argnums=0)
 
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
+    data = NamedSharding(mesh, P(mesh.axis_names[0]))
     return jax.jit(
         train_step,
         in_shardings=(repl, data, repl),
@@ -123,5 +123,5 @@ def make_predict_step(model, mesh: Mesh | None = None,
     if mesh is None:
         return jax.jit(predict)
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
+    data = NamedSharding(mesh, P(mesh.axis_names[0]))
     return jax.jit(predict, in_shardings=(repl, data), out_shardings=data)

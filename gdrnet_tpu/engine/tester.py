@@ -69,7 +69,11 @@ def do_test(cfg, model, variables, models, records: list[dict],
     shard = mh.get_rank() if shard is None else shard
     num_shards = mh.get_world_size() if num_shards is None else num_shards
     detections = None
-    if cfg.DATASETS.DET_FILES_TEST and cfg.TEST.TEST_BBOX_TYPE == "est":
+    # reference gating: detections load iff MODEL.LOAD_DETS_TEST (engine.py
+    # evaluator setup + dataset_utils.load_detections_into_dataset); the
+    # boxes are then used when TEST.TEST_BBOX_TYPE == "est"
+    if (cfg.DATASETS.DET_FILES_TEST and cfg.TEST.TEST_BBOX_TYPE == "est"
+            and cfg.MODEL.get("LOAD_DETS_TEST", True)):
         detections = load_detections(
             cfg.DATASETS.DET_FILES_TEST[0], score_thr=cfg.DATASETS.DET_THR,
             topk_per_obj=cfg.DATASETS.DET_TOPK_PER_OBJ)

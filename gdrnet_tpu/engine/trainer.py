@@ -124,7 +124,18 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
     if n_dev != n_avail:
         logger.warning(f"batch {ims_per_batch} not divisible by {n_avail} "
                        f"devices; using a {n_dev}-device mesh")
-    mesh = make_mesh(n_dev)
+    # PARALLEL.MESH_SHAPE/AXIS_NAMES: 1-D data mesh (the reference is
+    # DP-only, SURVEY.md §2.9); the axis name is config-driven so sharded
+    # checkpoints/shardings stay stable across runs
+    axis = (cfg.PARALLEL.AXIS_NAMES[0]
+            if cfg.PARALLEL.get("AXIS_NAMES") else "data")
+    mesh_shape = tuple(cfg.PARALLEL.get("MESH_SHAPE", (-1,)))
+    if len(mesh_shape) != 1:
+        raise ValueError(f"only 1-D data meshes are supported (DP, like the "
+                         f"reference): PARALLEL.MESH_SHAPE={mesh_shape}")
+    if mesh_shape[0] not in (-1, n_dev):
+        n_dev = min(n_dev, mesh_shape[0])
+    mesh = make_mesh(n_dev, axis_name=axis)
     model = build_model(cfg)
     base_lr = dict(cfg.SOLVER.OPTIMIZER_CFG).get("lr", 1e-4)
     schedule = build_lr_schedule(cfg, base_lr, total_iters)
@@ -160,11 +171,11 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
 
     def to_device(nb, it_):
         b = shard_batch({k: jnp.asarray(v) for k, v in nb.items()
-                         if k not in ("sym_info",)}, mesh)
+                         if k not in ("sym_info",)}, mesh, axis)
         if device_prep is not None:
             # re-constrain: constants materialized inside the prep program
             # (e.g. the no-bins gt_xyz_bin zeros) come out replicated
-            b = shard_batch(device_prep(it_, b), mesh)
+            b = shard_batch(device_prep(it_, b), mesh, axis)
         return b
 
     loader_iter = iter(loader)

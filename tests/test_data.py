@@ -305,3 +305,44 @@ def test_xyz_path_reference_layout_fallback(tmp_path):
     open(ref_pkl, "wb").close()
     _, recs = resolve("lmo_pbr_train", root)
     assert recs[0]["xyz_path"] == ref_pkl
+
+
+def test_color_aug_code_interpreter(rng):
+    """COLOR_AUG_CODE DSL evaluates against numpy ops with imgaug semantics
+    (reference base_data_loader.py:196-208 evals the string with imgaug)."""
+    from gdrnet_tpu.data.augment import parse_aug_code, AAE_AUG_CODE
+
+    img = (rng.rand(32, 48, 3) * 255).astype(np.uint8)
+    r = np.random.RandomState(0)
+
+    # deterministic ops: exact semantics
+    add5 = parse_aug_code("Add((5, 5))")
+    np.testing.assert_array_equal(add5(img, r),
+                                  np.clip(img.astype(np.float32) + 5, 0, 255))
+    inv = parse_aug_code("Sequential([Sometimes(1.0, Invert(1.0))])")
+    np.testing.assert_array_equal(inv(img, r), 255 - img)
+    lc = parse_aug_code("LinearContrast((2.0, 2.0))")
+    np.testing.assert_array_equal(
+        lc(img, r), np.clip((img.astype(np.float32) - 127) * 2 + 127, 0, 255))
+    noop = parse_aug_code("Sometimes(0.0, Invert(1.0))")
+    np.testing.assert_array_equal(noop(img, r), img)
+
+    # the reference's full AAE string parses and runs
+    fn = parse_aug_code(AAE_AUG_CODE)
+    outs = [fn(img, np.random.RandomState(s)) for s in range(8)]
+    assert all(o.shape == img.shape and o.dtype == np.uint8 for o in outs)
+    assert any(not np.array_equal(o, img) for o in outs)
+
+    # config-carried string loads through the config system
+    from gdrnet_tpu.config import load_config
+    import os.path as osp
+    repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    cfg = load_config(osp.join(
+        repo, "configs/gdrn/lmo/a6_cPnP_AugAAETrunc_BG0.5_lmo_real_pbr0.1_40e.py"))
+    fn2 = build_color_augmentor("code", cfg.INPUT.COLOR_AUG_CODE)
+    out2 = fn2(img, np.random.RandomState(3))
+    assert out2.shape == img.shape
+
+    # geometric ops stay rejected (they would desync bbox/xyz targets)
+    with pytest.raises(NotImplementedError):
+        parse_aug_code("Sometimes(0.5, Affine(scale=(1.0, 1.2)))")

@@ -139,6 +139,7 @@ def test_train_eval_resume(fixture_env, tmp_path):
         _json.dump(dets, f)
     cfg.DATASETS.DET_FILES_TEST = (det_path,)
     cfg.TEST.TEST_BBOX_TYPE = "est"
+    cfg.MODEL.LOAD_DETS_TEST = True  # reference gate for loading det files
     rdet = do_test(cfg, model, state.variables(), models, records,
                    output_dir=osp.join(cfg.OUTPUT_DIR, "est"))
     assert rdet["cube"]["count"] == 4 and "n_missing" not in rdet["cube"]
