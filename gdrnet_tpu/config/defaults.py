@@ -122,6 +122,7 @@ _DEFAULTS = dict(
         # geometry-head convs, models/quantize.py); calibrated on the first
         # test bucket. No reference analogue (AMP fp16 is the closest).
         INT8=False,
+        FOLD_BN=False,  # fold BN stats into conv kernels for serving
         ROI_BATCH_SIZE=64,  # padded ROI bucket size at test (TPU static shapes)
         # crop ROIs on device from raw deduped frames (serving path)
         DEVICE_PREPROCESS=False,

@@ -88,6 +88,14 @@ def do_test(cfg, model, variables, models, records: list[dict],
         mapper = GDRNDeviceTestMapper(cfg, models, roi_batch_size=bucket)
     else:
         mapper = GDRNTestMapper(cfg, models, roi_batch_size=bucket)
+    if cfg.TEST.get("FOLD_BN"):
+        # inference-only: BN running stats fold into conv kernels
+        # (utils/fold_bn.py; composes with INT8 — folded kernels quantize)
+        from gdrnet_tpu.utils.fold_bn import fold_variables
+
+        extra = {k: v for k, v in variables.items()
+                 if k not in ("params", "batch_stats")}
+        variables = {**fold_variables(variables), **extra}
     predict = make_predict_step(model, with_maps=use_pnp)
     int8 = bool(cfg.TEST.get("INT8"))
 

@@ -159,6 +159,7 @@ def test_train_eval_resume(fixture_env, tmp_path):
     # poses tracking the bf16 eval
     cfg.TEST.INT8 = True
     cfg.TEST.DEVICE_PREPROCESS = True
+    cfg.TEST.FOLD_BN = True  # folded kernels must quantize cleanly too
     r8 = do_test(cfg, model, state.variables(), models, records,
                  output_dir=osp.join(cfg.OUTPUT_DIR, "int8"))
     loaded8 = load_bop_results(r8["_csv_path"])
