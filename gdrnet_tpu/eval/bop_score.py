@@ -5,8 +5,8 @@ eval_calc_scores.py per error type/threshold).
 
 Supported error types (error matrix, eval_pose_results_more.py:41-94):
   ad / add / adi            recall at 0.02/0.05/0.10 x diameter
-  AUCad / AUCadd / AUCadi   VOCap AUC of the error up to 0.1 m
-  ABSad / ABSadd / ABSadi   AUC of absolute error (not diameter-relative)
+  AUCad / AUCadd / AUCadi   mean recall over thresholds 1..10 cm (:79-83)
+  ABSad / ABSadd / ABSadi   recall at the absolute 2 cm threshold (:73-77)
   re / te / rete / proj     recall at (2,5,10) deg / cm / px
   mssd / mspd               BOP19 recalls averaged over their threshold grids
   vsd                       BOP19 recall grid (needs depth_test via vsd_fn)
@@ -162,11 +162,15 @@ def score_results(results: list[dict], gts: list[dict], models,
                 raise ValueError(f"unknown error type: {etype}")
 
             if etype.startswith("AUC"):
-                per_obj[name] = PE.vocap_auc(
-                    np.concatenate([err, np.full(d["miss"], np.inf)]), max_val=0.1)
+                # reference AUC = mean recall over 10 thresholds 1..10 cm
+                # (eval_pose_results_more.py:79-83 linspace(1, 10, 10) cm)
+                per_obj[name] = float(np.mean(
+                    [np.sum(err < thr) / n_total
+                     for thr in np.linspace(0.01, 0.10, 10)]))
             elif etype.startswith("ABS"):
-                per_obj[name] = PE.vocap_auc(
-                    np.concatenate([err, np.full(d["miss"], np.inf)]), max_val=0.1)
+                # reference ABS = recall at one absolute 2 cm threshold
+                # (eval_pose_results_more.py:73-77 correct_th [[2]] cm)
+                per_obj[name] = float(np.sum(err < 0.02) / n_total)
             elif etype in ("re",):
                 per_obj[name] = [float(np.sum(err < thr)) / n_total for thr in (2, 5, 10)]
             elif etype in ("te",):

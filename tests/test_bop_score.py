@@ -202,3 +202,28 @@ def test_localization_scores():
     assert s["obj_recalls"][5] == pytest.approx(0.5)
     assert s["obj_recalls"][7] == pytest.approx(1.0)
     assert s["scene_recalls"][1] == pytest.approx(0.5)
+
+
+def test_auc_and_abs_threshold_semantics(scored_setup):
+    """AUCxx = mean recall over the 10 thresholds 1..10 cm; ABSxx = recall at
+    the single absolute 2 cm threshold (eval_pose_results_more.py:73-83)."""
+    meta, records, models = scored_setup
+    # pure-translation offset of exactly 3.5 cm -> add error == 3.5 cm:
+    # passes thresholds 4..10 cm (7 of 10) -> AUCadd = 0.7; fails ABS (2 cm)
+    results = []
+    for g in records:
+        results.append({"scene_id": g["scene_id"], "im_id": g["im_id"],
+                        "obj_id": g["obj_id"], "score": 1.0, "R": g["R"].copy(),
+                        "t": (g["t"] + np.array([0.035, 0, 0])) * 1000.0})
+    scores = score_results(results, records, models, "AUCadd,ABSadd")
+    assert scores["AUCadd"]["avg"] == pytest.approx(0.7)
+    assert scores["ABSadd"]["avg"] == pytest.approx(0.0)
+    # 1 cm offset: AUC passes 9/10, ABS passes
+    results2 = []
+    for g in records:
+        results2.append({"scene_id": g["scene_id"], "im_id": g["im_id"],
+                         "obj_id": g["obj_id"], "score": 1.0, "R": g["R"].copy(),
+                         "t": (g["t"] + np.array([0.012, 0, 0])) * 1000.0})
+    scores2 = score_results(results2, records, models, "AUCadd,ABSadd")
+    assert scores2["AUCadd"]["avg"] == pytest.approx(0.9)
+    assert scores2["ABSadd"]["avg"] == pytest.approx(1.0)
