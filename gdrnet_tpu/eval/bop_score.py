@@ -7,7 +7,8 @@ Supported error types (error matrix, eval_pose_results_more.py:41-94):
   ad / add / adi            recall at 0.02/0.05/0.10 x diameter
   AUCad / AUCadd / AUCadi   mean recall over thresholds 1..10 cm (:79-83)
   ABSad / ABSadd / ABSadi   recall at the absolute 2 cm threshold (:73-77)
-  re / te / rete / proj     recall at (2,5,10) deg / cm / px
+  re / te / rete / proj     recall at (2,5,10) deg / cm / px (not sym-aware)
+  reS / teS / reteS / projS sym-aware variants (min over the symmetry set)
   mssd / mspd               BOP19 recalls averaged over their threshold grids
   vsd                       BOP19 recall grid (needs depth_test via vsd_fn)
 
@@ -22,7 +23,6 @@ from collections import defaultdict
 import numpy as np
 
 from gdrnet_tpu.eval import pose_errors as PE
-from gdrnet_tpu.ops.symmetry import get_closest_rot_batch
 
 BOP19_MSSD_THRESHOLDS = np.arange(0.05, 0.51, 0.05)  # x diameter
 BOP19_MSPD_THRESHOLDS = np.arange(5, 51, 5)  # x r=w/640 px
@@ -117,28 +117,37 @@ def score_results(results: list[dict], gts: list[dict], models,
             elif etype.endswith("ad"):
                 err = np.asarray((PE.adi_batch if is_sym else PE.add_batch)(
                     Re, te_, Rg, tg, pts))
-            elif etype in ("re", "te", "rete", "proj"):
-                if is_sym:
-                    srots = models.sym_rots.get(name)
-                    if srots is not None:
-                        k = srots.shape[0] + 1
-                        sym = np.tile(np.eye(3, dtype=np.float32), (B, k, 1, 1))
-                        sym[:, 1:] = srots[None]
-                        Rg_c = np.asarray(get_closest_rot_batch(
-                            Re, Rg, sym, np.ones((B, k), bool)))
-                    else:
-                        Rg_c = Rg
+            elif etype in ("re", "te", "rete", "proj",
+                           "reS", "teS", "reteS", "projS"):
+                # plain types are NOT sym-aware; the S variants take the min
+                # over the symmetry set per error independently (reference
+                # eval_calc_errors.py:408-450, pose_error.re_sym/te_sym/
+                # arp_2d_sym:184-234 — min over syms, not closest-by-angle).
+                # Our model store keeps rotational syms only (sym t == 0 for
+                # the lm/lmo/ycbv discrete symmetries), so teS == te.
+                sym_aware = etype.endswith("S")
+                base = etype[:-1] if sym_aware else etype
+                srots = models.sym_rots.get(name) if (sym_aware and is_sym) else None
+                if srots is not None:
+                    sym_set = np.concatenate(
+                        [np.eye(3, dtype=np.float32)[None], srots], axis=0)
                 else:
-                    Rg_c = Rg
-                if etype == "re":
-                    err = np.asarray(PE.re_batch(Re, Rg_c))
-                elif etype == "te":
-                    err = np.asarray(PE.te_batch(te_, tg))
-                elif etype == "proj":
-                    err = np.asarray(PE.proj_batch(Re, te_, Rg_c, tg, K, pts))
-                else:  # rete: joint
-                    r_err = np.asarray(PE.re_batch(Re, Rg_c))
-                    t_err = np.asarray(PE.te_batch(te_, tg))
+                    sym_set = np.eye(3, dtype=np.float32)[None]
+                Rg_syms = np.einsum("bij,sjk->sbik", Rg, sym_set)
+                t_err = np.asarray(PE.te_batch(te_, tg))
+                if base in ("re", "rete"):
+                    r_err = np.min(np.stack(
+                        [np.asarray(PE.re_batch(Re, Rg_syms[s]))
+                         for s in range(len(sym_set))]), axis=0)
+                if base == "re":
+                    err = r_err
+                elif base == "te":
+                    err = t_err
+                elif base == "proj":
+                    err = np.min(np.stack(
+                        [np.asarray(PE.proj_batch(Re, te_, Rg_syms[s], tg, K, pts))
+                         for s in range(len(sym_set))]), axis=0)
+                else:  # rete: joint thresholds on independently sym-min'd errs
                     rec = [float(np.sum((r_err < a) & (t_err < b))) / n_total
                            for a, b in ((2, 0.02), (5, 0.05), (10, 0.10))]
                     per_obj[name] = rec
@@ -171,12 +180,12 @@ def score_results(results: list[dict], gts: list[dict], models,
                 # reference ABS = recall at one absolute 2 cm threshold
                 # (eval_pose_results_more.py:73-77 correct_th [[2]] cm)
                 per_obj[name] = float(np.sum(err < 0.02) / n_total)
-            elif etype in ("re",):
+            elif etype in ("re", "reS"):
                 per_obj[name] = [float(np.sum(err < thr)) / n_total for thr in (2, 5, 10)]
-            elif etype in ("te",):
+            elif etype in ("te", "teS"):
                 per_obj[name] = [float(np.sum(err < thr)) / n_total
                                  for thr in (0.02, 0.05, 0.10)]
-            elif etype in ("proj",):
+            elif etype in ("proj", "projS"):
                 per_obj[name] = [float(np.sum(err < thr)) / n_total for thr in (2, 5, 10)]
             else:  # ad / add / adi family
                 per_obj[name] = [float(np.sum(err < f * dia)) / n_total

@@ -227,3 +227,27 @@ def test_auc_and_abs_threshold_semantics(scored_setup):
     scores2 = score_results(results2, records, models, "AUCadd,ABSadd")
     assert scores2["AUCadd"]["avg"] == pytest.approx(0.9)
     assert scores2["ABSadd"]["avg"] == pytest.approx(1.0)
+
+
+def test_sym_aware_error_variants(scored_setup):
+    """Plain re/proj are not sym-aware; reS/projS take the min over the
+    symmetry set (pose_error.re_sym/arp_2d_sym: min over syms). The fixture
+    brick has a z-180 discrete symmetry: predicting the sym-equivalent
+    rotation scores ~180 deg on re but ~0 on reS."""
+    meta, records, models = scored_setup
+    Rz = np.diag([-1.0, -1.0, 1.0]).astype(np.float32)
+    results = []
+    for g in records:
+        R = g["R"] @ Rz if g["obj_id"] == 2 else g["R"]
+        results.append({"scene_id": g["scene_id"], "im_id": g["im_id"],
+                        "obj_id": g["obj_id"], "score": 1.0, "R": R,
+                        "t": g["t"] * 1000.0})
+    scores = score_results(results, records, models, "re,reS,proj,projS,te,teS",
+                           sym_objs=["brick"])
+    assert np.mean(scores["re"]["brick"]) == 0.0       # ~180 deg off
+    assert np.mean(scores["reS"]["brick"]) == 1.0      # sym-equivalent
+    assert np.mean(scores["proj"]["brick"]) < 0.5
+    assert np.mean(scores["projS"]["brick"]) == 1.0
+    assert np.mean(scores["re"]["cube"]) == 1.0        # non-sym unaffected
+    assert np.mean(scores["te"]["brick"]) == 1.0
+    assert np.mean(scores["teS"]["brick"]) == 1.0
