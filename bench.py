@@ -49,6 +49,11 @@ def main():
     variables = model.init({"params": jax.random.PRNGKey(0)},
                            batch["roi_img"], **kwargs, train=False)
 
+    if "--fold-bn" in sys.argv:
+        from gdrnet_tpu.utils.fold_bn import fold_variables
+
+        variables = jax.device_put(fold_variables(variables))
+
     int8_scales = None
     if "--bf16" not in sys.argv:
         from gdrnet_tpu.models.quantize import calibrate_act_scales

@@ -203,7 +203,7 @@ def test_predict_cli(tmp_path):
     cfg8_path = tmp_path / "cfg8.py"
     cfg8_path.write_text(cfg_path.read_text().replace(
         "TEST = dict(ROI_BATCH_SIZE=4)",
-        "TEST = dict(ROI_BATCH_SIZE=4, INT8=True)"))
+        "TEST = dict(ROI_BATCH_SIZE=4, INT8=True, FOLD_BN=True)"))
     out8 = str(tmp_path / "poses_int8.csv")
     rm.get_meta = lambda name, data_root=None: meta
     try:

@@ -77,6 +77,10 @@ def main(argv=None):
                                jax.random.PRNGKey(0))
     state = load_params_for_eval(args.ckpt, state)
     variables = state.variables()
+    if cfg.TEST.get("FOLD_BN"):  # TEST.FOLD_BN=True on the CLI opts
+        from gdrnet_tpu.utils.fold_bn import fold_variables
+
+        variables = fold_variables(variables)
     predict = make_predict_step(model)
     int8 = bool(cfg.TEST.get("INT8"))  # TEST.INT8=True on the CLI opts
 
