@@ -413,13 +413,30 @@ class BackgroundReplacer:
         self.keep_aspect = keep_aspect
         self.paths: list[str] = []
         if bg_root and osp.isdir(bg_root):
-            # VOC layout: JPEGImages under root; else flat folder
+            # bg_type selects the path list (reference _bg_img_paths,
+            # base_data_loader.py:282-309): "VOC_table" filters VOC to the
+            # DeepIM dining-table subset, "VOC"/"SUN2012" use JPEGImages/,
+            # "coco" (and any flat folder) scans bg_root directly.
+            candidates: list[str] = []
+            table_list = osp.join(bg_root, "ImageSets", "Main",
+                                  "diningtable_trainval.txt")
             img_dir = osp.join(bg_root, "JPEGImages")
-            if not osp.isdir(img_dir):
-                img_dir = bg_root
-            for fn in sorted(os.listdir(img_dir))[: num_bg_imgs]:
-                if fn.lower().endswith(exts):
-                    self.paths.append(osp.join(img_dir, fn))
+            if bg_type == "VOC_table" and osp.exists(table_list):
+                with open(table_list) as f:
+                    for ln in f:
+                        parts = ln.split()
+                        if len(parts) == 2 and parts[1] == "1":
+                            candidates.append(
+                                osp.join(img_dir, f"{parts[0]}.jpg"))
+            elif osp.isdir(img_dir):
+                candidates = [osp.join(img_dir, fn)
+                              for fn in sorted(os.listdir(img_dir))]
+            else:
+                candidates = [osp.join(bg_root, fn)
+                              for fn in sorted(os.listdir(bg_root))]
+            for p in candidates[: num_bg_imgs]:
+                if p.lower().endswith(exts):
+                    self.paths.append(p)
 
     def get_bg(self, rng, h: int, w: int) -> np.ndarray:
         """Aspect-keeping random crop/resize of a random bg image
@@ -432,7 +449,8 @@ class BackgroundReplacer:
             return np.clip(gy * c + gx * (1 - c), 0, 255).astype(np.uint8)
         path = self.paths[rng.randint(len(self.paths))]
         bg = cv2.imread(path, cv2.IMREAD_COLOR)
-        if bg is None:
+        if bg is None:  # drop dead paths; empty list falls back above
+            self.paths.remove(path)
             return self.get_bg(rng, h, w)
         if self.keep_aspect:
             bh, bw = bg.shape[:2]

@@ -346,3 +346,31 @@ def test_color_aug_code_interpreter(rng):
     # geometric ops stay rejected (they would desync bbox/xyz targets)
     with pytest.raises(NotImplementedError):
         parse_aug_code("Sometimes(0.5, Affine(scale=(1.0, 1.2)))")
+
+
+def test_background_replacer_bg_types(tmp_path):
+    """BG_TYPE path selection (reference _bg_img_paths,
+    base_data_loader.py:282-309): VOC_table filters to the dining-table
+    subset; VOC uses all JPEGImages; a flat folder scans directly."""
+    import cv2, os
+    import os.path as osp
+    voc = tmp_path / "VOC2012"
+    (voc / "JPEGImages").mkdir(parents=True)
+    (voc / "ImageSets" / "Main").mkdir(parents=True)
+    for name in ("a", "b", "c"):
+        cv2.imwrite(str(voc / "JPEGImages" / f"{name}.jpg"),
+                    np.full((8, 8, 3), 128, np.uint8))
+    (voc / "ImageSets" / "Main" / "diningtable_trainval.txt").write_text(
+        "a  1\nb -1\nc  1\n")
+
+    table = BackgroundReplacer(str(voc), bg_type="VOC_table")
+    assert sorted(osp.basename(p) for p in table.paths) == ["a.jpg", "c.jpg"]
+    allv = BackgroundReplacer(str(voc), bg_type="VOC")
+    assert len(allv.paths) == 3
+    flat = tmp_path / "coco"
+    flat.mkdir()
+    cv2.imwrite(str(flat / "z.png"), np.zeros((8, 8, 3), np.uint8))
+    coco = BackgroundReplacer(str(flat), bg_type="coco")
+    assert len(coco.paths) == 1
+    bg = table.get_bg(np.random.RandomState(0), 16, 24)
+    assert bg.shape == (16, 24, 3)
