@@ -468,7 +468,9 @@ class BackgroundReplacer:
         TRUNCATE_FG, base_data_loader.py:320-364). Returns (img, mask)."""
         h, w = img.shape[:2]
         mask = fg_mask.astype(bool).copy()
-        if truncate_fg and mask.any():
+        # reference truncates w.p. 0.8 (one of 4 sides), no-op otherwise
+        # (base_data_loader.py:342-356 rnd<0.2/0.4/0.6/0.8/else-pass)
+        if truncate_fg and mask.any() and rng.rand() < 0.8:
             ys, xs = np.nonzero(mask)
             x1, x2, y1, y2 = xs.min(), xs.max(), ys.min(), ys.max()
             side = rng.randint(4)
