@@ -197,9 +197,11 @@ class GDRNTrainMapper:
         mask_visib = mask_visib * mask_obj  # (reference data_loader.py:507)
         mask_trunc = mask_visib.copy()
 
-        # bg replacement: always for synthetic, with prob for real
+        # bg replacement: mandatory only for bg-less "syn" renders (imgn
+        # OpenGL); "syn_pbr"/"syn_blender" already have backgrounds and use
+        # the CHANGE_BG_PROB branch like real (data_loader.py:321-333)
         # (reference data_loader.py:330-346)
-        is_syn = rec.get("img_type", "real") != "real"
+        is_syn = rec.get("img_type", "real") == "syn"
         if self.bg is not None and (is_syn or rng.rand() < self.change_bg_prob):
             img, mask_trunc_new = self.bg.replace(
                 img, mask_trunc, rng, truncate_fg=self.truncate_fg)
@@ -308,7 +310,7 @@ class GDRNRawTrainMapper(GDRNTrainMapper):
         mask_visib = mask_visib * mask_obj
         mask_trunc = mask_visib.copy()
 
-        is_syn = rec.get("img_type", "real") != "real"
+        is_syn = rec.get("img_type", "real") == "syn"
         if self.bg is not None and (is_syn or rng.rand() < self.change_bg_prob):
             img, mask_trunc_new = self.bg.replace(
                 img, mask_trunc, rng, truncate_fg=self.truncate_fg)

@@ -374,3 +374,27 @@ def test_background_replacer_bg_types(tmp_path):
     assert len(coco.paths) == 1
     bg = table.get_bg(np.random.RandomState(0), 16, 24)
     assert bg.shape == (16, 24, 3)
+
+
+def test_bg_replacement_only_forced_for_bgless_syn(fixture_ds):
+    """Mandatory bg replacement applies only to img_type=='syn' (bg-less
+    OpenGL renders); syn_pbr/syn_blender have backgrounds and follow
+    CHANGE_BG_PROB like real (reference data_loader.py:321-333)."""
+    meta, records, models = fixture_ds
+    cfg = _cfg()
+    cfg.INPUT.CHANGE_BG_PROB = 0.0
+    bg = BackgroundReplacer("")  # gradient fallback: replacement visibly changes pixels
+    from gdrnet_tpu.data.mapper import GDRNTrainMapper
+
+    m = GDRNTrainMapper(cfg, models, bg_replacer=bg)
+    rec = dict(records[0])
+
+    def roi(img_type, seed):
+        r = dict(rec, img_type=img_type)
+        return m(r, np.random.RandomState(seed))["roi_img"]
+
+    # with prob 0: pbr/blender crops match the real crop (no forced replace)
+    np.testing.assert_allclose(roi("syn_pbr", 3), roi("real", 3))
+    np.testing.assert_allclose(roi("syn_blender", 3), roi("real", 3))
+    # bg-less "syn" is always replaced -> differs from the real crop
+    assert not np.allclose(roi("syn", 3), roi("real", 3))
