@@ -209,7 +209,11 @@ class GDRNTrainMapper:
 
         # color aug
         if self.color_aug is not None and rng.rand() < self.color_aug_prob:
-            if not (self.color_aug_syn_only and not is_syn):
+            # COLOR_AUG_SYN_ONLY means any synthetic img_type, not just the
+            # bg-less "syn" (the reference's branch at data_loader.py:340-343
+            # is actually a no-op — both arms aug; we honor the intent)
+            if not (self.color_aug_syn_only
+                    and rec.get("img_type", "real") == "real"):
                 img = self.color_aug(img, rng)
 
         # DZI bbox aug on the xyz-derived bbox (reference overrides bbox
@@ -316,7 +320,11 @@ class GDRNRawTrainMapper(GDRNTrainMapper):
                 img, mask_trunc, rng, truncate_fg=self.truncate_fg)
             mask_trunc = mask_trunc * mask_trunc_new
         if self.color_aug is not None and rng.rand() < self.color_aug_prob:
-            if not (self.color_aug_syn_only and not is_syn):
+            # COLOR_AUG_SYN_ONLY means any synthetic img_type, not just the
+            # bg-less "syn" (the reference's branch at data_loader.py:340-343
+            # is actually a no-op — both arms aug; we honor the intent)
+            if not (self.color_aug_syn_only
+                    and rec.get("img_type", "real") == "real"):
                 img = self.color_aug(img, rng)
 
         ys, xs = np.nonzero(mask_obj)
