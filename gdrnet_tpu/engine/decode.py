@@ -19,8 +19,12 @@ def get_out_coor(coor_x: jnp.ndarray, coor_y: jnp.ndarray, coor_z: jnp.ndarray,
         if c.shape[-1] == 1:
             outs.append(c[..., 0])
         else:
+            # bin-center decode ((idx+0.5)/bin: unbiased for the floor(x*bin)
+            # encoding — the reference uses idx/(bin-1), engine_utils.py:103);
+            # pixels whose argmax is the bg bin decode to 0 (:102 zeroes bg)
             idx = jnp.argmax(c[..., :-1], axis=-1).astype(jnp.float32)
-            outs.append((idx + 0.5) / xyz_bin)
+            is_fg = jnp.argmax(c, axis=-1) < c.shape[-1] - 1
+            outs.append(jnp.where(is_fg, (idx + 0.5) / xyz_bin, 0.0))
     return jnp.stack(outs, axis=-1)
 
 
@@ -31,4 +35,8 @@ def get_out_mask(mask: jnp.ndarray, mask_loss_type: str = "L1") -> jnp.ndarray:
         return jax.nn.softmax(mask, axis=-1)[..., 1]
     if mask_loss_type == "BCE":
         return jax.nn.sigmoid(mask[..., 0])
-    return mask[..., 0]  # L1: raw prob-ish output
+    # L1: per-image min-max normalization to [0,1] (engine_utils.py:115-117)
+    m = mask[..., 0]
+    lo = jnp.min(m, axis=(1, 2), keepdims=True)
+    hi = jnp.max(m, axis=(1, 2), keepdims=True)
+    return (m - lo) / jnp.maximum(hi - lo, 1e-6)

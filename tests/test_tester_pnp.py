@@ -98,3 +98,25 @@ def test_do_test_sharded_partitions_rois(env, tmp_path):
     key = lambda r: (r["scene_id"], r["im_id"], r["obj_id"])
     assert len(half0) + len(half1) == len(full)
     assert sorted(map(key, half0 + half1)) == sorted(map(key, full))
+
+
+def test_decode_semantics():
+    """get_out_coor: bin-center decode with bg-argmax pixels zeroed
+    (engine_utils.py:92-105); get_out_mask L1: per-image min-max
+    normalization (:115-117)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from gdrnet_tpu.engine.decode import get_out_coor, get_out_mask
+
+    B = 4  # bins
+    logits = np.full((1, 1, 2, B + 1), -10.0, np.float32)
+    logits[0, 0, 0, 2] = 5.0    # pixel 0: fg bin 2
+    logits[0, 0, 1, B] = 5.0    # pixel 1: bg wins
+    c = jnp.asarray(logits)
+    out = np.asarray(get_out_coor(c, c, c, xyz_bin=B))
+    assert out[0, 0, 0, 0] == (2 + 0.5) / B
+    assert out[0, 0, 1, 0] == 0.0  # bg-argmax pixel zeroed
+
+    m = jnp.asarray(np.array([[[[2.0], [4.0]], [[6.0], [2.0]]]], np.float32))
+    dm = np.asarray(get_out_mask(m, "L1"))
+    np.testing.assert_allclose(dm[0], [[0.0, 0.5], [1.0, 0.0]], atol=1e-5)
