@@ -103,24 +103,6 @@ def aug_roi10d(img, rng, brightness=18.0, contrast=0.4, saturation=0.4):
     return img
 
 
-def aug_aae(img, rng):
-    """AAE-style heavy pipeline (base_data_loader.py:168-186 builds
-    Sequential([Sometimes(blur/dropout/add/invert/multiply/contrast)]))."""
-    if rng.rand() < 0.2:
-        img = aug_gaussian_blur(img, rng, 0.0, 1.2)
-    if rng.rand() < 0.5:
-        img = aug_coarse_dropout(img, rng, p_px=0.08, size_frac=0.05)
-    if rng.rand() < 0.5:
-        img = aug_brightness_add(img, rng, -25, 25)
-    if rng.rand() < 0.15:
-        img = aug_invert_channel(img, rng, 0.5)
-    if rng.rand() < 0.5:
-        img = aug_multiply(img, rng, 0.6, 1.4)
-    if rng.rand() < 0.5:
-        img = aug_contrast(img, rng, 0.5, 2.2)
-    return img
-
-
 def aug_ssd(img, rng):
     """SSD-style photometric distortion (reference ColorAugSSDTransform,
     core/utils/ssd_color_transform.py:10): random brightness, contrast,
@@ -252,6 +234,14 @@ def _iaa_oneof(children):
 
 def _iaa_coarse_dropout(p=0.1, size_percent=0.05, per_channel=0.0):
     def op(img, rng):
+        pc = 1.0 if per_channel is True else float(per_channel or 0.0)
+        if rng.rand() < pc:  # independent block pattern per channel
+            out = img.copy()
+            for c in range(img.shape[2]):
+                out[..., c] = aug_coarse_dropout(
+                    img[..., c:c + 1], rng, p_px=_rand_param(p, rng),
+                    size_frac=_rand_param(size_percent, rng))[..., 0]
+            return out
         return aug_coarse_dropout(img, rng, p_px=_rand_param(p, rng),
                                   size_frac=_rand_param(size_percent, rng))
     return op
@@ -316,6 +306,10 @@ def _iaa_additive_gaussian_noise(loc=0, scale=(0, 10), per_channel=0.0):
 
 def _iaa_dropout(p=0.05, per_channel=0.0):
     def op(img, rng):
+        pc = 1.0 if per_channel is True else float(per_channel or 0.0)
+        if rng.rand() < pc:
+            keep = rng.rand(*img.shape) >= _rand_param(p, rng)
+            return (img * keep).astype(img.dtype)
         keep = rng.rand(*img.shape[:2]) >= _rand_param(p, rng)
         return (img * keep[..., None]).astype(img.dtype)
     return op
@@ -447,11 +441,20 @@ class BackgroundReplacer:
             gx = np.linspace(0, 255, w, dtype=np.float32)[None, :, None]
             c = rng.rand(1, 1, 3).astype(np.float32)
             return np.clip(gy * c + gx * (1 - c), 0, 255).astype(np.uint8)
-        path = self.paths[rng.randint(len(self.paths))]
-        bg = cv2.imread(path, cv2.IMREAD_COLOR)
-        if bg is None:  # drop dead paths; empty list falls back above
-            self.paths.remove(path)
-            return self.get_bg(rng, h, w)
+        # bounded retry over random picks; no mutation (the replacer is
+        # shared across loader threads) — persistent failures fall through
+        # to the gradient fallback
+        bg = None
+        for _ in range(5):
+            path = self.paths[rng.randint(len(self.paths))]
+            bg = cv2.imread(path, cv2.IMREAD_COLOR)
+            if bg is not None:
+                break
+        if bg is None:
+            gy = np.linspace(0, 255, h, dtype=np.float32)[:, None, None]
+            gx = np.linspace(0, 255, w, dtype=np.float32)[None, :, None]
+            c = rng.rand(1, 1, 3).astype(np.float32)
+            return np.clip(gy * c + gx * (1 - c), 0, 255).astype(np.uint8)
         if self.keep_aspect:
             bh, bw = bg.shape[:2]
             scale = max(h / bh, w / bw)

@@ -144,7 +144,7 @@ def resolve(name: str, data_root: str = "datasets/BOP_DATASETS",
         # the split suffix from the full name.
         rest = name[len("ycbv"):].lstrip("_")
         objs = None
-        for suf in ("train_real", "train_pbr", "train_synt", "test", "bop_test"):
+        for suf in ("train_real", "train_pbr", "train_synt", "bop_test", "test"):
             if rest.endswith(suf):
                 mid = rest[: -len(suf)].rstrip("_")
                 if mid in meta.objects:

@@ -177,8 +177,7 @@ class GDRNTrainMapper:
 
     # -- main ----------------------------------------------------------
     def __call__(self, rec: dict, rng: np.random.RandomState) -> dict:
-        img = read_color_image(rec["rgb_path"],
-                               self.cfg.INPUT.get("FORMAT", "BGR"))
+        img = read_color_image(rec["rgb_path"])
         im_h, im_w = img.shape[:2]
 
         xyz = self._load_xyz(rec, im_h, im_w)
@@ -215,6 +214,10 @@ class GDRNTrainMapper:
             if not (self.color_aug_syn_only
                     and rec.get("img_type", "real") == "real"):
                 img = self.color_aug(img, rng)
+        # convert AFTER bg/color aug — those ops are BGR-defined; flipping at
+        # read would composite channel-swapped backgrounds (INPUT.FORMAT)
+        if self.cfg.INPUT.get("FORMAT", "BGR").upper() == "RGB":
+            img = np.ascontiguousarray(img[..., ::-1])
 
         # DZI bbox aug on the xyz-derived bbox (reference overrides bbox
         # with xyz xyxy, data_loader.py:477-479)
@@ -294,8 +297,7 @@ class GDRNRawTrainMapper(GDRNTrainMapper):
     CPU workers, data_loader.py:304-633)."""
 
     def __call__(self, rec: dict, rng: np.random.RandomState) -> dict:
-        img = read_color_image(rec["rgb_path"],
-                               self.cfg.INPUT.get("FORMAT", "BGR"))
+        img = read_color_image(rec["rgb_path"])
         im_h, im_w = img.shape[:2]
 
         xyz = self._load_xyz(rec, im_h, im_w)
@@ -326,6 +328,10 @@ class GDRNRawTrainMapper(GDRNTrainMapper):
             if not (self.color_aug_syn_only
                     and rec.get("img_type", "real") == "real"):
                 img = self.color_aug(img, rng)
+        # convert AFTER bg/color aug — those ops are BGR-defined; flipping at
+        # read would composite channel-swapped backgrounds (INPUT.FORMAT)
+        if self.cfg.INPUT.get("FORMAT", "BGR").upper() == "RGB":
+            img = np.ascontiguousarray(img[..., ::-1])
 
         ys, xs = np.nonzero(mask_obj)
         if len(xs) == 0:

@@ -73,7 +73,7 @@ def do_test(cfg, model, variables, models, records: list[dict],
     # evaluator setup + dataset_utils.load_detections_into_dataset); the
     # boxes are then used when TEST.TEST_BBOX_TYPE == "est"
     if (cfg.DATASETS.DET_FILES_TEST and cfg.TEST.TEST_BBOX_TYPE == "est"
-            and cfg.MODEL.get("LOAD_DETS_TEST", True)):
+            and cfg.MODEL.get("LOAD_DETS_TEST", False)):
         detections = load_detections(
             cfg.DATASETS.DET_FILES_TEST[0], score_thr=cfg.DATASETS.DET_THR,
             topk_per_obj=cfg.DATASETS.DET_TOPK_PER_OBJ)
@@ -109,15 +109,18 @@ def do_test(cfg, model, variables, models, records: list[dict],
     # gdrn_custom_evaluator.py:552-556); count them once (shard 0) so the
     # multi-shard gather sums to the true total.
     if shard == 0 and detections is not None:
-        gt_objs_by_img: dict = defaultdict(set)
+        from collections import Counter
+
+        gt_cnt_by_img: dict = defaultdict(Counter)
         for r in records:
-            gt_objs_by_img[(r["scene_id"], r["im_id"])].add(int(r["obj_id"]))
-        for key, gt_objs in gt_objs_by_img.items():
-            det_objs = {int(d["obj_id"]) for d in detections.get(key, [])}
-            for oid in gt_objs - det_objs:
+            gt_cnt_by_img[(r["scene_id"], r["im_id"])][int(r["obj_id"])] += 1
+        for key, gt_cnt in gt_cnt_by_img.items():
+            det_cnt = Counter(int(d["obj_id"]) for d in detections.get(key, []))
+            for oid, n_gt in gt_cnt.items():
+                n_miss = max(0, n_gt - det_cnt.get(oid, 0))
                 name = models.meta.id2obj.get(oid)
-                if name is not None and name in models.points:
-                    evaluator.record_missing(name)
+                if n_miss and name is not None and name in models.points:
+                    evaluator.record_missing(name, n_miss)
 
     # TPU-first packing: flatten every (image, detection) into one stream and
     # fill each static bucket COMPLETELY (the reference batches per image,

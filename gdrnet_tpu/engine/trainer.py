@@ -134,7 +134,12 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
         raise ValueError(f"only 1-D data meshes are supported (DP, like the "
                          f"reference): PARALLEL.MESH_SHAPE={mesh_shape}")
     if mesh_shape[0] not in (-1, n_dev):
-        n_dev = min(n_dev, mesh_shape[0])
+        if mesh_shape[0] < 1:
+            raise ValueError(f"PARALLEL.MESH_SHAPE={mesh_shape} must be (-1,) "
+                             "or a positive device count")
+        cap = min(n_dev, mesh_shape[0])
+        # keep the batch-divisibility invariant established above
+        n_dev = max(d for d in range(1, cap + 1) if ims_per_batch % d == 0)
     mesh = make_mesh(n_dev, axis_name=axis)
     model = build_model(cfg)
     base_lr = dict(cfg.SOLVER.OPTIMIZER_CFG).get("lr", 1e-4)

@@ -283,6 +283,12 @@ def test_ycbv_per_object_splits(tmp_path):
     assert len(bowl_recs) == 1 and bowl_recs[0]["label"] == "024_bowl"
     _, all_recs = resolve("ycbv_train_real", root)
     assert len(all_recs) == 3
+    # per-object bop_test parses too (suffix matching must try bop_test
+    # before the shorter test)
+    _mini_bop_scene(osp.join(meta.data_root, "test", "000000"),
+                    {0: [bowl, mug]}, meta.camera_matrix)
+    _, bt = resolve("ycbv_024_bowl_bop_test", root)
+    assert len(bt) == 1 and bt[0]["label"] == "024_bowl"
 
 
 def test_xyz_path_reference_layout_fallback(tmp_path):
