@@ -81,9 +81,52 @@ def _fold(params: dict, stats: dict) -> None:
                 _fold(params[name], sub_stats)
 
 
+def _fold_tree_jnp(params: dict, stats: dict):
+    """Pure-jnp twin of _fold over (params, stats) pytrees; traceable."""
+    import jax.numpy as jnp
+
+    params = dict(params)
+    stats = dict(stats)
+    for name in list(stats.keys()):
+        sub = stats[name]
+        if not isinstance(sub, dict):
+            continue
+        if "mean" in sub and "var" in sub and _is_bn_name(name):
+            conv_name = _conv_for_bn(params, name)
+            if conv_name is None or name not in params:
+                continue
+            mean, var = sub["mean"], sub["var"]
+            p_bn = dict(params[name])
+            scale = p_bn.get("scale", jnp.ones_like(mean))
+            bias = p_bn.get("bias", jnp.zeros_like(mean))
+            inv = scale / jnp.sqrt(var + _EPS)
+            p_conv = dict(params[conv_name])
+            k = p_conv["kernel"]
+            p_conv["kernel"] = (k * inv.reshape((1,) * (k.ndim - 1) + (-1,))
+                                ).astype(k.dtype)
+            params[conv_name] = p_conv
+            p_bn["scale"] = jnp.ones_like(mean)
+            p_bn["bias"] = bias - mean * inv
+            params[name] = p_bn
+            stats[name] = {**sub, "mean": jnp.zeros_like(mean),
+                           "var": jnp.full_like(mean, 1.0 - _EPS)}
+        elif name in params and isinstance(params[name], dict):
+            p2, s2 = _fold_tree_jnp(params[name], sub)
+            params[name] = p2
+            stats[name] = s2
+    return params, stats
+
+
 def fold_variables(variables: dict) -> dict:
-    """Fold a {'params', 'batch_stats'} variables dict for inference."""
-    p, s = fold_batch_norms(variables["params"], variables.get("batch_stats", {}))
+    """Fold a {'params', 'batch_stats'} variables dict for inference.
+
+    Runs as ONE jitted device program: the numpy path (`fold_batch_norms`,
+    kept for host-side golden checks) fetches every leaf individually, which
+    over a remote-TPU tunnel costs a round-trip per parameter tensor."""
+    import jax
+
+    p, s = jax.jit(_fold_tree_jnp)(dict(variables["params"]),
+                                   dict(variables.get("batch_stats", {})))
     out = {"params": p}
     if s:
         out["batch_stats"] = s

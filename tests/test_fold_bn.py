@@ -50,3 +50,31 @@ def test_fold_bn_output_parity(rng):
     k0 = np.asarray(variables["params"]["backbone"]["conv1"]["kernel"])
     k1 = np.asarray(folded["params"]["backbone"]["conv1"]["kernel"])
     assert not np.allclose(k0, k1)
+
+
+def test_fold_jit_matches_numpy(rng):
+    """The jitted device-side fold must match the numpy fold exactly (the
+    numpy path stays as the host-side golden)."""
+    import jax
+    import jax.numpy as jnp
+    from gdrnet_tpu.utils.fold_bn import fold_batch_norms, fold_variables
+
+    mean = rng.rand(8).astype(np.float32)
+    var = rng.rand(8).astype(np.float32) + 0.5
+    variables = {
+        "params": {"block": {"Conv_0": {"kernel": rng.randn(3, 3, 4, 8).astype(np.float32)},
+                             "BatchNorm_0": {"scale": rng.rand(8).astype(np.float32),
+                                             "bias": rng.randn(8).astype(np.float32)}}},
+        "batch_stats": {"block": {"BatchNorm_0": {"mean": mean, "var": var}}},
+    }
+    p_np, s_np = fold_batch_norms(variables["params"], variables["batch_stats"])
+    folded = fold_variables(jax.tree.map(jnp.asarray, variables))
+    np.testing.assert_allclose(
+        np.asarray(folded["params"]["block"]["Conv_0"]["kernel"]),
+        p_np["block"]["Conv_0"]["kernel"], rtol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(folded["params"]["block"]["BatchNorm_0"]["bias"]),
+        p_np["block"]["BatchNorm_0"]["bias"], rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(folded["batch_stats"]["block"]["BatchNorm_0"]["var"]),
+        s_np["block"]["BatchNorm_0"]["var"])
