@@ -32,7 +32,9 @@ def get_out_mask(mask: jnp.ndarray, mask_loss_type: str = "L1") -> jnp.ndarray:
     """[B,H,W,C] mask head channels -> [B,H,W] probability
     (engine_utils.get_out_mask:108-126)."""
     if mask_loss_type == "CE":
-        return jax.nn.softmax(mask, axis=-1)[..., 1]
+        # hard argmax class like the reference (engine_utils.py:123) — a soft
+        # softmax prob would select a different fg set at MASK_THR_TEST != 0.5
+        return jnp.argmax(mask, axis=-1).astype(jnp.float32)
     if mask_loss_type == "BCE":
         return jax.nn.sigmoid(mask[..., 0])
     # L1: per-image min-max normalization to [0,1] (engine_utils.py:115-117)

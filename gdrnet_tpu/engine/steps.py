@@ -72,9 +72,10 @@ def make_train_step(cfg, model, optimizer: optax.GradientTransformation,
         metrics = dict(loss_dict)
         metrics["total_loss"] = total
         # train-time pose error vis (reference compute_mean_re_te, GDRN.py:246)
-        tr = jnp.einsum("bij,bij->b", out["rot"], batch["gt_ego_rot"])
-        cos = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
-        metrics["vis/error_R"] = jnp.mean(jnp.degrees(jnp.arccos(cos)))
+        from gdrnet_tpu.ops.rotation import rot_angle_deg
+
+        metrics["vis/error_R"] = jnp.mean(
+            rot_angle_deg(out["rot"], batch["gt_ego_rot"]))
         metrics["vis/error_t"] = jnp.mean(
             jnp.linalg.norm(out["trans"] - batch["gt_trans"], axis=-1)) * 100.0
         return new_state, metrics

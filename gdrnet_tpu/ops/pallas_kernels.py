@@ -239,9 +239,12 @@ def rasterize_xyz_pallas(verts, faces, K, R, t, *, height: int, width: int,
     F = faces.shape[0]
     assert F % chunk_f == 0, "pad faces to a chunk multiple (_pad_faces)"
 
-    cam = verts @ jnp.asarray(R, jnp.float32).T + jnp.asarray(t, jnp.float32)
+    # precision="highest": screen coordinates feeding the kernel must not
+    # run at the default bf16 matmul precision (CLAUDE.md invariant)
+    cam = jnp.matmul(verts, jnp.asarray(R, jnp.float32).T,
+                     precision="highest") + jnp.asarray(t, jnp.float32)
     z = cam[:, 2]
-    uvw = cam @ jnp.asarray(K, jnp.float32).T
+    uvw = jnp.matmul(cam, jnp.asarray(K, jnp.float32).T, precision="highest")
     u = uvw[:, 0] / jnp.maximum(uvw[:, 2], z_near)
     v = uvw[:, 1] / jnp.maximum(uvw[:, 2], z_near)
     inv_z = 1.0 / jnp.maximum(z, z_near)

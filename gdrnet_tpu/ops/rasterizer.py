@@ -55,9 +55,11 @@ def rasterize_attr(verts: jnp.ndarray, attrs: jnp.ndarray, faces: jnp.ndarray,
     """
     V = verts.shape[0]
     C = attrs.shape[-1]
-    cam = verts @ R.T + t  # [V, 3]
+    # precision="highest": pixel coordinates must not run at the TPU's
+    # default bf16 matmul precision (several-px error at VGA scale)
+    cam = jnp.matmul(verts, R.T, precision="highest") + t  # [V, 3]
     z = cam[:, 2]
-    uv = cam @ K.T
+    uv = jnp.matmul(cam, K.T, precision="highest")
     u = uv[:, 0] / jnp.maximum(uv[:, 2], z_near)
     v = uv[:, 1] / jnp.maximum(uv[:, 2], z_near)
 

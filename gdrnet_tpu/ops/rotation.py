@@ -157,9 +157,9 @@ def quat_exp(q: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
         s, v = q[..., :1], q[..., 1:]
     else:
         s, v = jnp.zeros_like(q[..., :1]), q
-    theta = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    theta = safe_norm(v, eps=eps)  # finite grad at v == 0 (linalg.norm NaNs)
     w = jnp.cos(theta)
-    xyz = v * jnp.sin(theta) / jnp.maximum(theta, eps)
+    xyz = v * jnp.sin(theta) / theta
     return jnp.exp(s) * jnp.concatenate([w, xyz], axis=-1)
 
 
@@ -209,13 +209,17 @@ def so3_exp(omega: jnp.ndarray) -> jnp.ndarray:
 
     Reference lie-algebra path: core/utils/lie_algebra.py.
     """
-    theta = jnp.linalg.norm(omega, axis=-1, keepdims=True)
-    small = theta[..., 0] < 1e-6
+    # grad-safe at omega == 0: theta_sq has a clean gradient and the floored
+    # sqrt in safe_norm keeps the non-Taylor branch's derivative finite
+    # (jnp.linalg.norm's grad at 0 is NaN and poisons the where)
+    theta_sq = jnp.sum(jnp.square(omega), axis=-1)
+    theta = safe_norm(omega)[..., 0]
+    small = theta_sq < 1e-12
 
     # Use sinc-style stable coefficients
-    theta_sq = (theta * theta)[..., 0]
-    a = jnp.where(small, 1.0 - theta_sq / 6.0, jnp.sin(theta[..., 0]) / jnp.maximum(theta[..., 0], _EPS))
-    b = jnp.where(small, 0.5 - theta_sq / 24.0, (1 - jnp.cos(theta[..., 0])) / jnp.maximum(theta_sq, _EPS))
+    a = jnp.where(small, 1.0 - theta_sq / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta_sq / 24.0,
+                  (1 - jnp.cos(theta)) / jnp.maximum(theta_sq, _EPS * _EPS))
 
     K = skew(omega)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype), K.shape)

@@ -202,3 +202,21 @@ def test_rot_angle_deg(rng):
     m2 = np.einsum("ij,bjk->bik", rot90, mats)
     d = np.asarray(R.rot_angle_deg(jnp.asarray(mats, jnp.float32), jnp.asarray(m2, jnp.float32)))
     np.testing.assert_allclose(d, 90.0, atol=0.1)
+
+
+def test_exp_maps_grad_finite_at_zero():
+    """so3_exp / quat_exp gradients at an exactly-zero input must be finite
+    (nets emit zero rot params at init; jnp.linalg.norm grads NaN at 0)."""
+    import jax
+    import jax.numpy as jnp
+    from gdrnet_tpu.ops.rotation import so3_exp, quat_exp
+
+    g = jax.grad(lambda w: jnp.sum(so3_exp(w)))(jnp.zeros((2, 3)))
+    assert np.isfinite(np.asarray(g)).all(), g
+    # value still exact at 0
+    np.testing.assert_allclose(np.asarray(so3_exp(jnp.zeros(3))), np.eye(3),
+                               atol=1e-6)
+    gq = jax.grad(lambda v: jnp.sum(quat_exp(v)))(jnp.zeros((2, 3)))
+    assert np.isfinite(np.asarray(gq)).all(), gq
+    np.testing.assert_allclose(np.asarray(quat_exp(jnp.zeros(3))),
+                               [1, 0, 0, 0], atol=1e-6)
