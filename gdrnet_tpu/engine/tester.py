@@ -79,6 +79,12 @@ def do_test(cfg, model, variables, models, records: list[dict],
             topk_per_obj=cfg.DATASETS.DET_TOPK_PER_OBJ)
     items = build_test_items(records, detections, cfg.TEST.TEST_BBOX_TYPE)
 
+    if cfg.VAL.get("USE_BOP"):
+        # fail fast on a bad VAL.ERROR_TYPES, not after full inference
+        from gdrnet_tpu.eval.bop_score import validate_error_types
+
+        validate_error_types(cfg.VAL.ERROR_TYPES)
+
     use_pnp = cfg.TEST.USE_PNP
     pnp_type = cfg.TEST.PNP_TYPE  # ransac_pnp | net_iter_pnp | net_ransac_pnp
     bucket = cfg.TEST.ROI_BATCH_SIZE
@@ -127,6 +133,10 @@ def do_test(cfg, model, variables, models, records: list[dict],
     # data_loader.py:389 — that leaves most of a fixed bucket empty)
     flat: list[tuple] = []
     for rgb_path, K, rois, info in items:
+        # one GT per (image, object) — like the reference custom evaluator's
+        # file_name-keyed gts (gdrn_custom_evaluator.py); images with several
+        # instances of the SAME object collapse to the last one here. The
+        # VAL.USE_BOP path (match_estimates_to_gt) handles duplicates.
         gts_by_obj = {g["obj_id"]: g for g in info["gts"]}
         for det in rois:
             oid = int(det["obj_id"])
@@ -209,6 +219,16 @@ def do_test(cfg, model, variables, models, records: list[dict],
                 evaluator._preds[name].extend(items_)
             for name, n in g.get("missing", {}).items():
                 evaluator._missing[name] += n
+
+    # BOP CSV requires one time value per image (the official toolkit
+    # rejects rows of the same image with differing times); report the max
+    # over the image's estimates
+    t_by_img: dict = {}
+    for r_ in bop_results:
+        key = (r_["scene_id"], r_["im_id"])
+        t_by_img[key] = max(t_by_img.get(key, 0.0), r_["time"])
+    for r_ in bop_results:
+        r_["time"] = t_by_img[(r_["scene_id"], r_["im_id"])]
 
     results = evaluator.evaluate()
     if output_dir and save_csv and mh.is_main_process():

@@ -143,7 +143,12 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
     mesh = make_mesh(n_dev, axis_name=axis)
     model = build_model(cfg)
     base_lr = dict(cfg.SOLVER.OPTIMIZER_CFG).get("lr", 1e-4)
-    schedule = build_lr_schedule(cfg, base_lr, total_iters)
+    # with gradient accumulation the inner optimizer (optax.MultiSteps)
+    # advances its schedule once per k train iterations — build the schedule
+    # over optimizer UPDATES so warmup/anneal land where configured
+    accum = int(cfg.SOLVER.get("GRAD_ACCUM_STEPS", 1) or 1)
+    schedule = build_lr_schedule(cfg, base_lr, total_iters,
+                                 steps_per_update=accum)
     optimizer = build_optimizer(cfg, lr_schedule=schedule)
 
     # device-side preprocessing: ship raw frames, run the whole mapper tail
@@ -254,7 +259,7 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
             step_time = time.perf_counter() - t_step
             if not np.isfinite(total):  # NaN tripwire (engine.py:271)
                 raise FloatingPointError(f"non-finite loss at iter {it}: {total}")
-            ev.put(total_loss=total, lr=float(schedule(it)),
+            ev.put(total_loss=total, lr=float(schedule(it // accum)),
                    **{k: float(v) for k, v in metrics.items() if k != "total_loss"})
             ev.put(**{"time/step": step_time, "time/data": data_time})
         if at_boundary:

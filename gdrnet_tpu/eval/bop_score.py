@@ -10,7 +10,10 @@ Supported error types (error matrix, eval_pose_results_more.py:41-94):
   re / te / rete / proj     recall at (2,5,10) deg / cm / px (not sym-aware)
   reS / teS / reteS / projS sym-aware variants (min over the symmetry set)
   mssd / mspd               BOP19 recalls averaged over their threshold grids
-  vsd                       BOP19 recall grid (needs depth_test via vsd_fn)
+
+vsd needs rendered depth (eval/vsd.py); it is scored separately, not here —
+`validate_error_types` rejects unknown/unsupported names up front so a bad
+VAL.ERROR_TYPES fails before inference, not after.
 
 `score_results` matches estimates to GT by (scene_id, im_id, obj_id) with
 n_top semantics (N_TOP=1: highest-score estimate per GT object).
@@ -23,10 +26,29 @@ from collections import defaultdict
 import numpy as np
 
 from gdrnet_tpu.eval import pose_errors as PE
+from gdrnet_tpu.ops.symmetry import identity_padded_sym_arrays
 
 BOP19_MSSD_THRESHOLDS = np.arange(0.05, 0.51, 0.05)  # x diameter
 BOP19_MSPD_THRESHOLDS = np.arange(5, 51, 5)  # x r=w/640 px
 BOP19_VSD_TAUS = np.arange(0.05, 0.51, 0.05)
+
+SUPPORTED_ERROR_TYPES = frozenset(
+    ["ad", "add", "adi", "AUCad", "AUCadd", "AUCadi", "ABSad", "ABSadd",
+     "ABSadi", "re", "te", "rete", "proj", "reS", "teS", "reteS", "projS",
+     "mssd", "mspd"])
+
+
+def validate_error_types(error_types: str) -> list:
+    """Parse + validate an ERROR_TYPES string; raises before any compute so
+    a typo'd VAL.ERROR_TYPES fails fast, not after a full inference run."""
+    types = [t.strip() for t in error_types.split(",") if t.strip()]
+    unknown = [t for t in types if t not in SUPPORTED_ERROR_TYPES]
+    if unknown:
+        hint = (" (vsd needs rendered depth — score it via eval/vsd.py)"
+                if "vsd" in unknown else "")
+        raise ValueError(f"unsupported error types {unknown}; supported: "
+                         f"{sorted(SUPPORTED_ERROR_TYPES)}{hint}")
+    return types
 
 
 def match_estimates_to_gt(results: list[dict], gts: list[dict],
@@ -87,124 +109,125 @@ def score_results(results: list[dict], gts: list[dict], models,
                   image_width: int = 640, precision: bool = False) -> dict:
     """models: ObjectModels (points/diameters/sym_rots). Returns
     {error_type: {obj: recall(s)} + {"avg": ...}}. precision=True reproduces
-    the reference's VAL.EVAL_PRECISION mode (per-estimate denominators)."""
+    the reference's VAL.EVAL_PRECISION mode (per-estimate denominators).
+
+    Error arrays are computed once per (object, base error kind) and shared
+    across the requested types (e.g. ad/AUCad/ABSad reuse one ADD pass)."""
     id2obj = models.meta.id2obj
     sym_objs = sym_objs if sym_objs is not None else models.meta.sym_objects
     pairs = match_estimates_to_gt(results, gts, n_top, precision=precision)
     by_obj = _stack_pairs(pairs, id2obj)
-    types = [t.strip() for t in error_types.split(",") if t.strip()]
-    out: dict = {}
+    types = validate_error_types(error_types)
+    out: dict = {t: {} for t in types}
 
-    for etype in types:
-        per_obj: dict = {}
-        for name, d in by_obj.items():
-            n_total = len(d["Rg"]) + d["miss"]
-            if len(d["Rg"]) == 0:
-                per_obj[name] = 0.0
-                continue
-            Re = np.stack(d["Re"]); te_ = np.stack(d["te_"])
-            Rg = np.stack(d["Rg"]); tg = np.stack(d["tg"])
-            K = np.stack(d["K"])
-            pts = models.points[name]
-            dia = models.diameters[name]
-            B = len(Re)
+    for name, d in by_obj.items():
+        n_total = len(d["Rg"]) + d["miss"]
+        if len(d["Rg"]) == 0:
+            for t in types:
+                out[t][name] = 0.0
+            continue
+        Re = np.stack(d["Re"]); te_ = np.stack(d["te_"])
+        Rg = np.stack(d["Rg"]); tg = np.stack(d["tg"])
+        K = np.stack(d["K"])
+        pts = models.points[name]
+        dia = models.diameters[name]
+        B = len(Re)
+        is_sym = name in sym_objs
+        cache: dict = {}
 
-            is_sym = name in sym_objs
-            if etype.endswith(("add",)):
-                err = np.asarray(PE.add_batch(Re, te_, Rg, tg, pts))
-            elif etype.endswith("adi"):
-                err = np.asarray(PE.adi_batch(Re, te_, Rg, tg, pts))
-            elif etype.endswith("ad"):
-                err = np.asarray((PE.adi_batch if is_sym else PE.add_batch)(
-                    Re, te_, Rg, tg, pts))
-            elif etype in ("re", "te", "rete", "proj",
-                           "reS", "teS", "reteS", "projS"):
-                # plain types are NOT sym-aware; the S variants take the min
-                # over the symmetry set per error independently (reference
-                # eval_calc_errors.py:408-450, pose_error.re_sym/te_sym/
-                # arp_2d_sym:184-234 — min over syms, not closest-by-angle).
-                # Our model store keeps rotational syms only (sym t == 0 for
-                # the lm/lmo/ycbv discrete symmetries), so teS == te.
-                sym_aware = etype.endswith("S")
-                base = etype[:-1] if sym_aware else etype
-                srots = models.sym_rots.get(name) if (sym_aware and is_sym) else None
-                if srots is not None:
-                    sym_set = np.concatenate(
-                        [np.eye(3, dtype=np.float32)[None], srots], axis=0)
-                else:
-                    sym_set = np.eye(3, dtype=np.float32)[None]
-                Rg_syms = np.einsum("bij,sjk->sbik", Rg, sym_set)
-                t_err = np.asarray(PE.te_batch(te_, tg))
-                if base in ("re", "rete"):
-                    r_err = np.min(np.stack(
-                        [np.asarray(PE.re_batch(Re, Rg_syms[s]))
-                         for s in range(len(sym_set))]), axis=0)
-                if base == "re":
-                    err = r_err
-                elif base == "te":
-                    err = t_err
-                elif base == "proj":
-                    err = np.min(np.stack(
-                        [np.asarray(PE.proj_batch(Re, te_, Rg_syms[s], tg, K, pts))
-                         for s in range(len(sym_set))]), axis=0)
-                else:  # rete: joint thresholds on independently sym-min'd errs
-                    rec = [float(np.sum((r_err < a) & (t_err < b))) / n_total
-                           for a, b in ((2, 0.02), (5, 0.05), (10, 0.10))]
-                    per_obj[name] = rec
-                    continue
-            elif etype == "mssd":
-                sym, mask = _sym_arrays(models, name, B)
-                err = np.asarray(PE.mssd_batch(Re, te_, Rg, tg, pts, sym, mask))
-                rec = float(np.mean([np.sum(err < thr * dia) / n_total
-                                     for thr in BOP19_MSSD_THRESHOLDS]))
-                per_obj[name] = rec
-                continue
-            elif etype == "mspd":
-                sym, mask = _sym_arrays(models, name, B)
-                err = np.asarray(PE.mspd_batch(Re, te_, Rg, tg, K, pts, sym, mask))
-                r = image_width / 640.0
-                rec = float(np.mean([np.sum(err < thr * r) / n_total
-                                     for thr in BOP19_MSPD_THRESHOLDS]))
-                per_obj[name] = rec
-                continue
+        def sym_rotated_gts(sym_aware: bool):
+            """[S,B,3,3] gt rotations over the (identity-padded) sym set.
+            Plain types are NOT sym-aware; the S variants take the min over
+            the symmetry set per error independently (reference
+            eval_calc_errors.py:408-450, pose_error.re_sym/te_sym/
+            arp_2d_sym:184-234 — min over syms, not closest-by-angle). The
+            model store keeps rotational syms only (sym t == 0 for the
+            lm/lmo/ycbv discrete symmetries), so teS == te."""
+            srots = models.sym_rots.get(name) if (sym_aware and is_sym) else None
+            if srots is not None:
+                sym_set = np.concatenate(
+                    [np.eye(3, dtype=np.float32)[None], srots], axis=0)
             else:
-                raise ValueError(f"unknown error type: {etype}")
+                sym_set = np.eye(3, dtype=np.float32)[None]
+            return np.einsum("bij,sjk->sbik", Rg, sym_set)
 
+        def err_of(kind: str) -> np.ndarray:
+            if kind in cache:
+                return cache[kind]
+            if kind == "add":
+                e = np.asarray(PE.add_batch(Re, te_, Rg, tg, pts))
+            elif kind == "adi":
+                e = np.asarray(PE.adi_batch(Re, te_, Rg, tg, pts))
+            elif kind == "ad":
+                e = err_of("adi") if is_sym else err_of("add")
+            elif kind in ("te", "teS"):
+                e = np.asarray(PE.te_batch(te_, tg))
+            elif kind in ("re", "reS"):
+                Rg_syms = sym_rotated_gts(kind == "reS")
+                e = np.min(np.stack(
+                    [np.asarray(PE.re_batch(Re, Rg_syms[i]))
+                     for i in range(len(Rg_syms))]), axis=0)
+            elif kind in ("proj", "projS"):
+                Rg_syms = sym_rotated_gts(kind == "projS")
+                e = np.min(np.stack(
+                    [np.asarray(PE.proj_batch(Re, te_, Rg_syms[i], tg, K, pts))
+                     for i in range(len(Rg_syms))]), axis=0)
+            elif kind == "mssd":
+                sym, mask = identity_padded_sym_arrays(
+                    models.sym_rots.get(name), B)
+                e = np.asarray(PE.mssd_batch(Re, te_, Rg, tg, pts, sym, mask))
+            elif kind == "mspd":
+                sym, mask = identity_padded_sym_arrays(
+                    models.sym_rots.get(name), B)
+                e = np.asarray(PE.mspd_batch(Re, te_, Rg, tg, K, pts, sym, mask))
+            else:
+                raise ValueError(kind)
+            cache[kind] = e
+            return e
+
+        def recalls(err, thrs):
+            return [float(np.sum(err < thr)) / n_total for thr in thrs]
+
+        for etype in types:
             if etype.startswith("AUC"):
                 # reference AUC = mean recall over 10 thresholds 1..10 cm
                 # (eval_pose_results_more.py:79-83 linspace(1, 10, 10) cm)
-                per_obj[name] = float(np.mean(
-                    [np.sum(err < thr) / n_total
-                     for thr in np.linspace(0.01, 0.10, 10)]))
+                err = err_of(etype[3:])
+                out[etype][name] = float(np.mean(
+                    recalls(err, np.linspace(0.01, 0.10, 10))))
             elif etype.startswith("ABS"):
                 # reference ABS = recall at one absolute 2 cm threshold
                 # (eval_pose_results_more.py:73-77 correct_th [[2]] cm)
-                per_obj[name] = float(np.sum(err < 0.02) / n_total)
+                out[etype][name] = recalls(err_of(etype[3:]), (0.02,))[0]
+            elif etype in ("ad", "add", "adi"):
+                out[etype][name] = recalls(
+                    err_of(etype), (0.02 * dia, 0.05 * dia, 0.10 * dia))
             elif etype in ("re", "reS"):
-                per_obj[name] = [float(np.sum(err < thr)) / n_total for thr in (2, 5, 10)]
+                out[etype][name] = recalls(err_of(etype), (2, 5, 10))
             elif etype in ("te", "teS"):
-                per_obj[name] = [float(np.sum(err < thr)) / n_total
-                                 for thr in (0.02, 0.05, 0.10)]
+                out[etype][name] = recalls(err_of(etype), (0.02, 0.05, 0.10))
             elif etype in ("proj", "projS"):
-                per_obj[name] = [float(np.sum(err < thr)) / n_total for thr in (2, 5, 10)]
-            else:  # ad / add / adi family
-                per_obj[name] = [float(np.sum(err < f * dia)) / n_total
-                                 for f in (0.02, 0.05, 0.10)]
+                out[etype][name] = recalls(err_of(etype), (2, 5, 10))
+            elif etype in ("rete", "reteS"):
+                # joint thresholds on independently (sym-)min'd errors
+                S = "S" if etype.endswith("S") else ""
+                r_err, t_err = err_of("re" + S), err_of("te" + S)
+                out[etype][name] = [
+                    float(np.sum((r_err < a) & (t_err < b))) / n_total
+                    for a, b in ((2, 0.02), (5, 0.05), (10, 0.10))]
+            elif etype == "mssd":
+                out[etype][name] = float(np.mean(recalls(
+                    err_of("mssd"), BOP19_MSSD_THRESHOLDS * dia)))
+            elif etype == "mspd":
+                r = image_width / 640.0
+                out[etype][name] = float(np.mean(recalls(
+                    err_of("mspd"), BOP19_MSPD_THRESHOLDS * r)))
+
+    for t in types:
+        per_obj = out[t]
         vals = [np.mean(v) if isinstance(v, list) else v for v in per_obj.values()]
         per_obj["avg"] = float(np.mean(vals)) if vals else 0.0
-        out[etype] = per_obj
     return out
-
-
-def _sym_arrays(models, name: str, batch: int):
-    srots = models.sym_rots.get(name)
-    if srots is None:
-        sym = np.tile(np.eye(3, dtype=np.float32), (batch, 1, 1, 1))
-        return sym, np.ones((batch, 1), bool)
-    k = srots.shape[0] + 1
-    sym = np.tile(np.eye(3, dtype=np.float32), (batch, k, 1, 1))
-    sym[:, 1:] = srots[None]
-    return sym, np.ones((batch, k), bool)
 
 
 def bop19_average_recall(scores: dict) -> float:

@@ -91,13 +91,9 @@ class CustomEvaluator:
 
             te_err = np.asarray(PE.te_batch(t_p, t_g))
             if name in self.sym_objs:
-                srots = self.sym_rots.get(name)
-                if srots is None:
-                    srots = np.eye(3, dtype=np.float32)[None]
-                k = srots.shape[0] + 1
-                sym = np.tile(np.eye(3, dtype=np.float32), (B, k, 1, 1))
-                sym[:, 1:] = srots[None]
-                mask = np.ones((B, k), bool)
+                from gdrnet_tpu.ops.symmetry import identity_padded_sym_arrays
+
+                sym, mask = identity_padded_sym_arrays(self.sym_rots.get(name), B)
                 R_g_closest = get_closest_rot_batch(
                     R_p, R_g, jnp.asarray(sym), jnp.asarray(mask))
                 re_err = np.asarray(PE.re_batch(R_p, R_g_closest))

@@ -35,7 +35,8 @@ def match_poses(errs: list[dict], error_ths, max_ests_count: int = 0,
     for e in errs_sorted:
         best_gt, best_err = -1, list(ths)
         for gt_id, error in e["errors"].items():
-            valid = (not gt_valid_mask) or gt_valid_mask[gt_id]
+            # `is None` — a numpy bool mask has ambiguous truthiness
+            valid = gt_valid_mask is None or gt_valid_mask[gt_id]
             if valid and gt_id not in gt_matched:
                 err = list(np.atleast_1d(error))
                 if all(err[i] < best_err[i] for i in range(n)):

@@ -79,7 +79,12 @@ class RotWithRegionHead(nn.Module):
         for i in range(self.num_layers):
             if self.concat:
                 # reference concats the skip BEFORE each upsample round
-                # (feature idx 3/12/21, cdpn_rot_head_region.py:146-166)
+                # (feature idx 3/12/21, cdpn_rot_head_region.py:146-166).
+                # NOTE: like the reference's concat construction (:65-74,
+                # one UpsamplingBilinear2d per round), this emits
+                # out_res*2 maps (8->16 deconv then 3x2 upsample = 128);
+                # no shipped reference config enables ROT_CONCAT and the
+                # 64x64 GT maps don't match it — kept for structural parity
                 if skips[i] is not None:
                     x = jnp.concatenate([x, skips[i].astype(x.dtype)], axis=-1)
                 x = upsample_bilinear_align_corners(x, 2)

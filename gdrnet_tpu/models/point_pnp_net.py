@@ -10,7 +10,9 @@ Reference core/gdrn_modeling/models/point_pnp_net.py:
 
 1x1 convs over N points are expressed as Dense layers on [..., N, C] — the
 same MXU matmuls, no layout shuffling.
-"""
+
+
+PointPnPNet accepts mask_attention but — like the reference forward (point_pnp_net.py:126, parameter unused) — does not apply it; only SimplePointPnPNet implements mul/concat mask attention (:252-258)."""
 
 from __future__ import annotations
 

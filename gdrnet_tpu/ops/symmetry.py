@@ -115,6 +115,21 @@ def pad_symmetry_sets(sym_list: list[np.ndarray | None], max_k: int | None = Non
 # ---------------------------------------------------------------------------
 
 
+def identity_padded_sym_arrays(srots: np.ndarray | None, batch: int
+                                ) -> tuple[np.ndarray, np.ndarray]:
+    """[K,3,3] discrete sym rotations (or None) -> batched identity-padded
+    ([B,K+1,3,3], [B,K+1] bool mask) with the identity in slot 0 — the
+    convention every sym-aware batched metric here uses (MSSD/MSPD, the
+    custom evaluator's closest-rot search)."""
+    if srots is None:
+        sym = np.tile(np.eye(3, dtype=np.float32), (batch, 1, 1, 1))
+        return sym, np.ones((batch, 1), bool)
+    k = srots.shape[0] + 1
+    sym = np.tile(np.eye(3, dtype=np.float32), (batch, k, 1, 1))
+    sym[:, 1:] = srots[None]
+    return sym, np.ones((batch, k), bool)
+
+
 def get_closest_rot_batch(pred_rots: jnp.ndarray, gt_rots: jnp.ndarray,
                           sym_rots: jnp.ndarray,
                           sym_mask: jnp.ndarray | None = None) -> jnp.ndarray:

@@ -113,15 +113,28 @@ def warmup_cosine_schedule(base_lr: float, total_iters: int,
     return schedule
 
 
-def build_lr_schedule(cfg, base_lr: float, total_iters: int):
+def build_lr_schedule(cfg, base_lr: float, total_iters: int,
+                      steps_per_update: int = 1):
     """SOLVER config -> schedule fn (reference build_lr_scheduler,
-    core/utils/solver_utils.py:100-137)."""
+    core/utils/solver_utils.py:100-137).
+
+    steps_per_update: gradient-accumulation factor. The returned schedule is
+    in OPTIMIZER-UPDATE steps (optax.MultiSteps advances once per k train
+    iterations), so both total_iters and the iteration-denominated
+    WARMUP_ITERS are divided by k; relative knobs (REL_STEPS, ANNEAL_POINT)
+    are unaffected."""
+    k = max(int(steps_per_update), 1)
+    total_iters = -(-total_iters // k)
+
+    def _w():
+        return max(1, cfg.SOLVER.WARMUP_ITERS // k) if cfg.SOLVER.WARMUP_ITERS else 0
+
     name = cfg.SOLVER.LR_SCHEDULER_NAME
     if name == "flat_and_anneal":
         rel_steps = tuple(cfg.SOLVER.REL_STEPS)
         return flat_and_anneal_schedule(
             base_lr, total_iters,
-            warmup_iters=cfg.SOLVER.WARMUP_ITERS,
+            warmup_iters=_w(),
             warmup_factor=cfg.SOLVER.WARMUP_FACTOR,
             warmup_method=cfg.SOLVER.WARMUP_METHOD,
             anneal_point=cfg.SOLVER.ANNEAL_POINT,
@@ -134,11 +147,11 @@ def build_lr_schedule(cfg, base_lr: float, total_iters: int):
         milestones = [s * total_iters for s in cfg.SOLVER.REL_STEPS]
         return warmup_multistep_schedule(
             base_lr, milestones, gamma=cfg.SOLVER.GAMMA,
-            warmup_iters=cfg.SOLVER.WARMUP_ITERS,
+            warmup_iters=_w(),
             warmup_factor=cfg.SOLVER.WARMUP_FACTOR,
             warmup_method=cfg.SOLVER.WARMUP_METHOD)
     if name == "WarmupCosineLR":
         return warmup_cosine_schedule(
-            base_lr, total_iters, warmup_iters=cfg.SOLVER.WARMUP_ITERS,
+            base_lr, total_iters, warmup_iters=_w(),
             warmup_factor=cfg.SOLVER.WARMUP_FACTOR)
     raise ValueError(f"Unknown LR scheduler: {name}")

@@ -125,6 +125,11 @@ def test_train_eval_resume(fixture_env, tmp_path):
     from gdrnet_tpu.eval import load_bop_results
     loaded = load_bop_results(results["_csv_path"])
     assert len(loaded) == 8  # 4 images x 2 objects
+    # official BOP toolkit requires one time value per image
+    times_by_img: dict = {}
+    for r in loaded:
+        times_by_img.setdefault((r["scene_id"], r["im_id"]), set()).add(r["time"])
+    assert all(len(v) == 1 for v in times_by_img.values())
     assert "objects" in results["_summary"]
 
     # --- est-detections eval: brick has no detections anywhere -> its GTs

@@ -207,3 +207,26 @@ def test_grad_accumulation_matches_full_batch():
         w = jax.tree_util.tree_map(lambda a, b: a + b, w, up)
     np.testing.assert_allclose(np.asarray(w["backbone"]),
                                np.asarray(w_full["backbone"]), atol=1e-6)
+
+
+def test_schedule_steps_per_update():
+    """With gradient accumulation k, the schedule horizon and WARMUP_ITERS
+    compress by k so warmup/anneal land at the configured train iterations
+    (optax.MultiSteps advances the inner schedule once per k iters)."""
+    from gdrnet_tpu.config import base_config
+    from gdrnet_tpu.solver.schedulers import build_lr_schedule
+
+    cfg = base_config()
+    cfg.SOLVER.LR_SCHEDULER_NAME = "flat_and_anneal"
+    cfg.SOLVER.WARMUP_ITERS = 100
+    cfg.SOLVER.ANNEAL_POINT = 0.5
+    cfg.SOLVER.ANNEAL_METHOD = "cosine"
+    sk = build_lr_schedule(cfg, 1.0, 1000, steps_per_update=4)  # 250 updates
+    # warmup done by update 25 (= train iter 100)
+    assert float(sk(25)) == pytest.approx(1.0)
+    assert float(sk(10)) < 1.0
+    # anneal completes by the last update (the unscaled schedule would still
+    # be flat at step 249 of 1000)
+    assert float(sk(249)) < 0.01
+    s1 = build_lr_schedule(cfg, 1.0, 1000)
+    assert float(s1(249)) == pytest.approx(1.0)
