@@ -80,6 +80,7 @@ _DEFAULTS = dict(
         WARMUP_ITERS=1000,
         ANNEAL_METHOD="cosine",
         ANNEAL_POINT=0.72,
+        TARGET_LR_FACTOR=0.0,  # reference spells it TARTGET_LR_FACTOR (sic)
         POLY_POWER=0.9,
         REL_STEPS=(0.5, 0.75),
         CHECKPOINT_PERIOD=5,

@@ -428,9 +428,8 @@ class BackgroundReplacer:
             else:
                 candidates = [osp.join(bg_root, fn)
                               for fn in sorted(os.listdir(bg_root))]
-            for p in candidates[: num_bg_imgs]:
-                if p.lower().endswith(exts):
-                    self.paths.append(p)
+            self.paths = [p for p in candidates
+                          if p.lower().endswith(exts)][: num_bg_imgs]
 
     def get_bg(self, rng, h: int, w: int) -> np.ndarray:
         """Aspect-keeping random crop/resize of a random bg image

@@ -29,12 +29,13 @@ from gdrnet_tpu.ops.warp import affine_params_batch, warp_affine_batch
 def dzi_aug_bbox_batch(key, bbox_xyxy, im_h, im_w, dzi_type: str = "uniform",
                        pad_scale: float = 1.5, scale_ratio: float = 0.25,
                        shift_ratio: float = 0.25):
-    """Batched DZI (reference base_data_loader.aug_bbox:120-152, uniform and
-    none variants). bbox_xyxy [B, 4] -> (centers [B,2], scales [B])."""
+    """Batched DZI (reference base_data_loader.aug_bbox:120-152: uniform,
+    roi10d and none). bbox_xyxy [B, 4] -> (centers [B,2], scales [B])."""
     x1, y1, x2, y2 = [bbox_xyxy[:, i] for i in range(4)]
     cx, cy = 0.5 * (x1 + x2), 0.5 * (y1 + y2)
     bw, bh = x2 - x1, y2 - y1
-    if dzi_type == "uniform":
+    t = dzi_type.lower()
+    if t == "uniform":
         ks, kx, ky = jax.random.split(key, 3)
         b = bbox_xyxy.shape[0]
         s = 1 + scale_ratio * (2 * jax.random.uniform(ks, (b,)) - 1)
@@ -42,9 +43,26 @@ def dzi_aug_bbox_batch(key, bbox_xyxy, im_h, im_w, dzi_type: str = "uniform",
         shy = shift_ratio * (2 * jax.random.uniform(ky, (b,)) - 1)
         centers = jnp.stack([cx + bw * shx, cy + bh * shy], axis=1)
         scales = jnp.maximum(bh, bw) * s * pad_scale
-    else:
+    elif t == "roi10d":
+        # independent +-15% jitter per box edge, clipped to the image
+        # (mapper.dzi_aug_bbox roi10d branch / base_data_loader.py:132-145)
+        b = bbox_xyxy.shape[0]
+        j = jax.random.uniform(key, (b, 4), minval=-0.15, maxval=0.15)
+        nx1 = jnp.clip(x1 + bw * j[:, 0], 0, im_w)
+        nx2 = jnp.clip(x2 + bw * j[:, 1], 0, im_w)
+        ny1 = jnp.clip(y1 + bh * j[:, 2], 0, im_h)
+        ny2 = jnp.clip(y2 + bh * j[:, 3], 0, im_h)
+        centers = jnp.stack([0.5 * (nx1 + nx2), 0.5 * (ny1 + ny2)], axis=1)
+        scales = jnp.maximum(ny2 - ny1, nx2 - nx1) * pad_scale
+    elif t in ("none", "truncnorm"):
+        if t == "truncnorm":
+            raise NotImplementedError(
+                "DZI truncnorm not implemented (the reference raises too, "
+                "base_data_loader.py:146-147)")
         centers = jnp.stack([cx, cy], axis=1)
         scales = jnp.maximum(bh, bw) * pad_scale
+    else:
+        raise ValueError(f"unknown DZI_TYPE for device preprocess: {dzi_type}")
     scales = jnp.minimum(scales, float(max(im_h, im_w)))
     return centers, scales
 

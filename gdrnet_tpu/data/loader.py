@@ -66,6 +66,18 @@ class TrainLoader:
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch * self.batch_size)
         stop = threading.Event()
 
+        def put_checking_stop(item) -> bool:
+            """Bounded put that re-checks stop — a worker must not block
+            forever on a full queue after the consumer stopped pulling
+            (abandoned iterator / exception propagated out of the yield)."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             while not stop.is_set():
                 with lock:
@@ -76,9 +88,10 @@ class TrainLoader:
                 try:
                     sample = self.mapper(rec, np.random.RandomState(seed))
                 except Exception as e:  # noqa: BLE001 — surface via queue
-                    out_q.put(e)
+                    put_checking_stop(e)
                     return
-                out_q.put(sample)
+                if not put_checking_stop(sample):
+                    return
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]

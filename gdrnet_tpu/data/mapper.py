@@ -527,8 +527,10 @@ class GDRNDeviceTestMapper(GDRNTestMapper):
                 out, i, img.shape[0], img.shape[1],
                 np.asarray(K, np.float32), det)
 
+        if not img_list:  # empty bucket: nothing to warp
+            return out
         # pad unique-image count to a power of two (bounded jit variants)
-        n_img = max(len(img_list), 1)
+        n_img = len(img_list)
         n_pad = 1 << (n_img - 1).bit_length()
         h = max(im.shape[0] for im in img_list)
         w = max(im.shape[1] for im in img_list)

@@ -32,6 +32,10 @@ class ObjectModels:
             models_info = meta.models_info()
         except (FileNotFoundError, AssertionError):
             models_info = {}
+        try:
+            fps_pkl = meta.fps_points()
+        except (FileNotFoundError, OSError):
+            fps_pkl = None
 
         self.points: dict[str, np.ndarray] = {}
         self.full_points: dict[str, np.ndarray] = {}
@@ -55,8 +59,21 @@ class ObjectModels:
             mins, maxs = pts.min(0), pts.max(0)
             self.extents[name] = (maxs - mins).astype(np.float32)
             self.bbox3d[name] = _bbox3d_and_center(mins, maxs)
-            self.fps_points[name] = np.asarray(
-                farthest_point_sampling_np(pts, num_fps, init_center=True), np.float32)
+            # prefer the precomputed fps_points.pkl artifact (the partition
+            # the reference's region head was trained on, data_loader.py:
+            # 189-212 loads fps{K}_and_center and drops the center); fall
+            # back to on-the-fly sampling when absent (tiny/fixture sets)
+            fps = None
+            if fps_pkl is not None:
+                entry = fps_pkl.get(str(obj_id), {})
+                arr = entry.get(f"fps{num_fps}_and_center")
+                if arr is not None:
+                    fps = np.asarray(arr, np.float32)[:-1]
+            if fps is None:
+                fps = np.asarray(
+                    farthest_point_sampling_np(pts, num_fps, init_center=True),
+                    np.float32)
+            self.fps_points[name] = fps
             info = models_info.get(str(obj_id), {})
             self.diameters[name] = float(info.get(
                 "diameter", meta.diameters_by_name.get(name, 0.0) * 1000.0)) / 1000.0 \

@@ -30,7 +30,10 @@ def load_ply(path: str, vertex_scale: float = 1.0) -> dict:
         elements = []  # (name, count, [(prop_name, dtype) | ("list", idx_t, val_t, name)])
         cur = None
         while True:
-            line = f.readline().decode("ascii").strip()
+            raw = f.readline()
+            if not raw:  # EOF before end_header: truncated/corrupt file
+                raise ValueError(f"PLY header never terminated: {path}")
+            line = raw.decode("ascii").strip()
             if line.startswith("comment") or not line:
                 continue
             if line.startswith("format"):

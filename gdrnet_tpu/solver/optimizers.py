@@ -319,6 +319,13 @@ def _register(*names):
     return deco
 
 
+def _scale_by_lr(lr) -> optax.GradientTransformation:
+    """-lr scaling for a float or schedule (the final step of an update)."""
+    if callable(lr):
+        return optax.scale_by_schedule(lambda count: -lr(count))
+    return optax.scale(-lr)
+
+
 @_register("ranger")
 def _b_ranger(lr, oc):
     return ranger(lr, weight_decay=oc.get("weight_decay", 0.0),
@@ -340,8 +347,14 @@ def _b_adabelief(lr, oc):
 
 @_register("adam")
 def _b_adam(lr, oc):
-    return optax.adamw(lr, weight_decay=oc.get("weight_decay", 0.0)) \
-        if oc.get("weight_decay", 0.0) > 0 else optax.adam(lr)
+    # torch.optim.Adam couples weight decay as L2 added to the gradient
+    # BEFORE the moment estimates (not adamw's decoupled decay)
+    wd = oc.get("weight_decay", 0.0)
+    if wd > 0:
+        return optax.chain(optax.add_decayed_weights(wd),
+                           optax.scale_by_adam(),
+                           _scale_by_lr(lr))
+    return optax.adam(lr)
 
 
 @_register("adamw")
@@ -349,12 +362,24 @@ def _b_adamw(lr, oc):
     return optax.adamw(lr, weight_decay=oc.get("weight_decay", 1e-4))
 
 
-@_register("sgd", "sgd_gc", "sgd_gcc")
+@_register("sgd")
+def _b_sgd_plain(lr, oc):
+    # plain torch.optim.SGD: coupled L2 (grad += wd*p), NO gradient
+    # centralization — that belongs to SGD_GC/SGD_GCC only
+    wd = oc.get("weight_decay", 0.0)
+    tx = optax.sgd(lr, momentum=oc.get("momentum", 0.9),
+                   nesterov=oc.get("nesterov", False))
+    if wd > 0:
+        tx = optax.chain(optax.add_decayed_weights(wd), tx)
+    return tx
+
+
+@_register("sgd_gc", "sgd_gcc")
 def _b_sgd(lr, oc):
     return sgd_gc(lr, momentum=oc.get("momentum", 0.9),
                   weight_decay=oc.get("weight_decay", 0.0),
                   nesterov=oc.get("nesterov", False),
-                  gc_conv_only=oc.get("type", "SGD").lower() == "sgd_gcc")
+                  gc_conv_only=oc.get("type", "SGD_GC").lower() == "sgd_gcc")
 
 
 @_register("rmsprop", "rmsprop_tf")
@@ -432,7 +457,7 @@ def build_optimizer(cfg, lr_schedule: Optional[Callable] = None,
         "trans_head": net_cfg.TRANS_HEAD.get("LR_MULT", 1.0),
     }
     uniform = all(abs(m - 1.0) < 1e-12 for m in mults.values())
-    if uniform or params is None:
+    if uniform:
         return _with_clip(_BUILDERS[opt_type](lr, oc))
 
     def scaled(mult):

@@ -139,6 +139,10 @@ def build_lr_schedule(cfg, base_lr: float, total_iters: int,
             warmup_method=cfg.SOLVER.WARMUP_METHOD,
             anneal_point=cfg.SOLVER.ANNEAL_POINT,
             anneal_method=cfg.SOLVER.ANNEAL_METHOD,
+            # the reference misspells this key (solver_utils.py:133
+            # "TARTGET_LR_FACTOR") — accept both so its configs port 1:1
+            target_lr_factor=cfg.SOLVER.get(
+                "TARGET_LR_FACTOR", cfg.SOLVER.get("TARTGET_LR_FACTOR", 0.0)),
             poly_power=cfg.SOLVER.POLY_POWER,
             step_gamma=cfg.SOLVER.GAMMA,
             steps=rel_steps,

@@ -144,13 +144,21 @@ def convert_torch_state_dict(sd: dict, head_num_layers: int = 3,
     def to_np(v):
         return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
 
+    # unwrap DDP/Lite prefixes ONCE for the whole dict (reference
+    # my_checkpoint.py:9-25) so prefix-matching helpers (_infer_chw) see
+    # clean keys too
+    def _strip(k: str) -> str:
+        parts = k.split(".")
+        while parts and parts[0] in ("module", "_module", "model"):
+            parts = parts[1:]
+        return ".".join(parts)
+
+    sd = {_strip(k): v for k, v in sd.items()}
+
     for key, val in sd.items():
         if key.endswith("num_batches_tracked") or key.startswith("log_var"):
             continue
         parts = key.split(".")
-        # unwrap DDP/Lite prefixes (reference my_checkpoint.py:9-25)
-        while parts[0] in ("module", "_module", "model"):
-            parts = parts[1:]
         v = to_np(val)
 
         if parts[0] == "backbone":
