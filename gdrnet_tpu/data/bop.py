@@ -10,7 +10,8 @@ like the reference (:80-93).
 Record schema (all poses in metres, camera-frame):
   {scene_id, im_id, rgb_path, K [3,3], obj_id, label (name), R [3,3], t [3],
    bbox_visib xywh, bbox_obj xywh, visib_fract, mask_path, mask_visib_path,
-   xyz_path (optional), img_type}
+   xyz_path (optional), depth_path + depth_scale (optional, when the scene
+   has depth/ pngs — needed for vsd scoring), img_type}
 """
 
 from __future__ import annotations
@@ -66,7 +67,7 @@ def load_bop_scene_dicts(
 
     cache_key = hashlib.md5(
         json.dumps([meta.name, split_path, scenes, sorted(sel_objs), visib_thr,
-                    img_type, with_masks, with_xyz,
+                    img_type, with_masks, with_xyz, "v2-depth",
                     None if im_ids is None else
                     {str(k): sorted(v) for k, v in im_ids.items()}]
                    ).encode()).hexdigest()
@@ -82,6 +83,7 @@ def load_bop_scene_dicts(
         gt = _scene_json(scene_dir, "scene_gt.json")
         gt_info = _scene_json(scene_dir, "scene_gt_info.json")
         cams = _scene_json(scene_dir, "scene_camera.json")
+        has_depth = osp.isdir(osp.join(scene_dir, "depth"))
         allowed = None if im_ids is None else im_ids.get(scene_id, set())
         for im_id_s, insts in gt.items():
             im_id = int(im_id_s)
@@ -89,6 +91,12 @@ def load_bop_scene_dicts(
                 continue
             K = np.asarray(cams[im_id_s]["cam_K"], np.float32).reshape(3, 3)
             rgb_path = _find_rgb(scene_dir, im_id)
+            # test-scene depth feeds vsd scoring (reference loads it via
+            # inout.load_depth, lib/pysixd/inout.py:191-203; vsd's d_test in
+            # lib/pysixd/pose_error.py:22-129)
+            depth_path = (osp.join(scene_dir, "depth", f"{im_id:06d}.png")
+                          if has_depth else None)
+            depth_scale = float(cams[im_id_s].get("depth_scale", 1.0))
             infos = gt_info[im_id_s]
             for inst_i, inst in enumerate(insts):
                 obj_id = int(inst["obj_id"])
@@ -118,6 +126,9 @@ def load_bop_scene_dicts(
                     "img_type": img_type,
                     "inst_i": inst_i,
                 }
+                if depth_path is not None and osp.exists(depth_path):
+                    rec["depth_path"] = depth_path
+                    rec["depth_scale"] = depth_scale
                 if with_masks:
                     rec["mask_path"] = osp.join(scene_dir, "mask", f"{im_id:06d}_{inst_i:06d}.png")
                     rec["mask_visib_path"] = osp.join(

@@ -39,6 +39,7 @@ class ObjectModels:
 
         self.points: dict[str, np.ndarray] = {}
         self.full_points: dict[str, np.ndarray] = {}
+        self.faces: dict[str, np.ndarray | None] = {}
         self.extents: dict[str, np.ndarray] = {}
         self.bbox3d: dict[str, np.ndarray] = {}
         self.fps_points: dict[str, np.ndarray] = {}
@@ -50,6 +51,9 @@ class ObjectModels:
             ply = load_ply(meta.model_path(obj_id), vertex_scale=meta.vertex_scale)
             pts = ply["pts"]
             self.full_points[name] = pts
+            # mesh faces for depth renders (vsd scoring, eval/vsd.py)
+            f = ply.get("faces")
+            self.faces[name] = None if f is None else np.asarray(f, np.int32)
             # sample to <= num_pm_points (reference data_loader.py:230-240)
             if pts.shape[0] > num_pm_points:
                 sel = rng.choice(pts.shape[0], num_pm_points, replace=False)

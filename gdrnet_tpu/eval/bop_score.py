@@ -10,9 +10,11 @@ Supported error types (error matrix, eval_pose_results_more.py:41-94):
   re / te / rete / proj     recall at (2,5,10) deg / cm / px (not sym-aware)
   reS / teS / reteS / projS sym-aware variants (min over the symmetry set)
   mssd / mspd               BOP19 recalls averaged over their threshold grids
+  vsd                       BOP19 recall over the tau x threshold grid; needs
+                            test depth (records with depth_path) + mesh faces
+                            — renders est/gt depth via eval/vsd.py
 
-vsd needs rendered depth (eval/vsd.py); it is scored separately, not here —
-`validate_error_types` rejects unknown/unsupported names up front so a bad
+`validate_error_types` rejects unknown names up front so a bad
 VAL.ERROR_TYPES fails before inference, not after.
 
 `score_results` matches estimates to GT by (scene_id, im_id, obj_id) with
@@ -31,11 +33,15 @@ from gdrnet_tpu.ops.symmetry import identity_padded_sym_arrays
 BOP19_MSSD_THRESHOLDS = np.arange(0.05, 0.51, 0.05)  # x diameter
 BOP19_MSPD_THRESHOLDS = np.arange(5, 51, 5)  # x r=w/640 px
 BOP19_VSD_TAUS = np.arange(0.05, 0.51, 0.05)
+BOP19_VSD_THRESHOLDS = np.arange(0.05, 0.51, 0.05)
+# per-dataset visibility tolerance, mm (eval_pose_results_more.py vsd_deltas)
+VSD_DELTAS_MM = {"itodd": 5.0}
+VSD_DELTA_MM_DEFAULT = 15.0
 
 SUPPORTED_ERROR_TYPES = frozenset(
     ["ad", "add", "adi", "AUCad", "AUCadd", "AUCadi", "ABSad", "ABSadd",
      "ABSadi", "re", "te", "rete", "proj", "reS", "teS", "reteS", "projS",
-     "mssd", "mspd"])
+     "mssd", "mspd", "vsd"])
 
 
 def validate_error_types(error_types: str) -> list:
@@ -44,11 +50,51 @@ def validate_error_types(error_types: str) -> list:
     types = [t.strip() for t in error_types.split(",") if t.strip()]
     unknown = [t for t in types if t not in SUPPORTED_ERROR_TYPES]
     if unknown:
-        hint = (" (vsd needs rendered depth — score it via eval/vsd.py)"
-                if "vsd" in unknown else "")
         raise ValueError(f"unsupported error types {unknown}; supported: "
-                         f"{sorted(SUPPORTED_ERROR_TYPES)}{hint}")
+                         f"{sorted(SUPPORTED_ERROR_TYPES)}")
     return types
+
+
+def _vsd_errors_by_obj(pairs, models, delta_mm: float, taus) -> dict:
+    """Per-object lists of [T] vsd error arrays over the matched pairs
+    (missing estimates -> all-ones, i.e. fail every threshold). Renders
+    est/gt depth with the XLA rasterizer (eval/vsd.py) against the per-image
+    test depth (reference pose_error.vsd, lib/pysixd/pose_error.py:22-129)."""
+    from gdrnet_tpu.data.io import load_depth
+    from gdrnet_tpu.eval.vsd import vsd as vsd_fn
+
+    id2obj = models.meta.id2obj
+    taus = np.asarray(taus, np.float32)
+    depth_cache: dict = {}  # FIFO-capped: pairs of one image are adjacent
+    out = defaultdict(list)
+    for est, gt in pairs:
+        name = id2obj[gt["obj_id"]]
+        if est is None:
+            out[name].append(np.ones(len(taus), np.float32))
+            continue
+        dp = gt.get("depth_path")
+        if dp is None:
+            raise ValueError(
+                "vsd requested but the GT record has no depth_path — the "
+                "test split has no depth/ images (vsd needs d_test)")
+        faces = models.faces.get(name)
+        if faces is None:
+            raise ValueError(f"vsd needs mesh faces for {name!r}; the model "
+                             "PLY is a point cloud")
+        key = (gt["scene_id"], gt["im_id"])
+        if key not in depth_cache:
+            if len(depth_cache) >= 16:
+                depth_cache.pop(next(iter(depth_cache)))
+            depth_cache[key] = load_depth(dp, gt.get("depth_scale", 1.0))
+        errs = vsd_fn(
+            np.asarray(est["R"], np.float32),
+            np.asarray(est["t"], np.float32) / 1000.0,
+            gt["R"], gt["t"], depth_cache[key], gt["K"],
+            models.full_points[name], faces,
+            delta=delta_mm / 1000.0, taus=taus,
+            diameter=models.diameters[name])
+        out[name].append(np.asarray(errs, np.float32))
+    return out
 
 
 def match_estimates_to_gt(results: list[dict], gts: list[dict],
@@ -119,6 +165,12 @@ def score_results(results: list[dict], gts: list[dict], models,
     by_obj = _stack_pairs(pairs, id2obj)
     types = validate_error_types(error_types)
     out: dict = {t: {} for t in types}
+    vsd_by_obj = None
+    if "vsd" in types:
+        delta_mm = VSD_DELTAS_MM.get(models.meta.name.split("_")[0],
+                                     VSD_DELTA_MM_DEFAULT)
+        vsd_by_obj = _vsd_errors_by_obj(pairs, models, delta_mm,
+                                        BOP19_VSD_TAUS)
 
     for name, d in by_obj.items():
         n_total = len(d["Rg"]) + d["miss"]
@@ -222,6 +274,16 @@ def score_results(results: list[dict], gts: list[dict], models,
                 r = image_width / 640.0
                 out[etype][name] = float(np.mean(recalls(
                     err_of("mspd"), BOP19_MSPD_THRESHOLDS * r)))
+            elif etype == "vsd":
+                # AR_vsd = mean recall over the tau x threshold grid
+                # (BOP19: taus 0.05..0.5, correct_th 0.05..0.5,
+                # eval_pose_results_more.py:44-61). vsd errors include the
+                # all-ones rows of missing estimates, so divide by rows.
+                errs = np.stack(vsd_by_obj[name])  # [n_total, T]
+                out[etype][name] = float(np.mean(
+                    [np.mean(errs[:, i] < th)
+                     for i in range(errs.shape[1])
+                     for th in BOP19_VSD_THRESHOLDS]))
 
     for t in types:
         per_obj = out[t]

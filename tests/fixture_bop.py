@@ -84,13 +84,15 @@ def build_fixture_dataset(root: str, n_images: int = 6, seed: int = 0,
         json.dump(models_info, fp)
 
     scene_dir = osp.join(root, split, "000001")
-    for sub in ("rgb", "mask", "mask_visib", "xyz_crop"):
+    for sub in ("rgb", "mask", "mask_visib", "xyz_crop", "depth"):
         os.makedirs(osp.join(scene_dir, sub), exist_ok=True)
 
     scene_gt, scene_gt_info, scene_camera = {}, {}, {}
     for im_id in range(n_images):
         img = np.full((H, W, 3), 60, np.uint8)
         img += (rng.rand(H, W, 3) * 40).astype(np.uint8)
+        # scene depth z-buffer across instances -> depth/ png (vsd's d_test)
+        scene_depth = np.zeros((H, W), np.float32)
         gts, infos = [], []
         for inst_i, oid in enumerate(sorted(objs)):
             v, f = objs[oid]
@@ -102,6 +104,8 @@ def build_fixture_dataset(root: str, n_images: int = 6, seed: int = 0,
             depth, xyz = render_xyz(v, f, K, R, t, height=H, width=W)
             depth, xyz = np.asarray(depth), np.asarray(xyz)
             mask = (depth > 0).astype(np.uint8)
+            closer = (depth > 0) & ((scene_depth == 0) | (depth < scene_depth))
+            scene_depth = np.where(closer, depth, scene_depth)
             shade = (100 + 120 * (xyz[..., 2] / max(xyz[..., 2].max(), 1e-6)))
             color = np.stack([shade * 0.6, shade, shade * (0.4 + 0.3 * oid)], axis=-1)
             img = np.where(mask[..., None].astype(bool), color.astype(np.uint8), img)
@@ -122,6 +126,10 @@ def build_fixture_dataset(root: str, n_images: int = 6, seed: int = 0,
                           "px_count_visib": int(mask.sum()),
                           "visib_fract": 1.0})
         cv2.imwrite(osp.join(scene_dir, "rgb", f"{im_id:06d}.png"), img)
+        # 16-bit BOP depth png: raw = depth_m * 1000 / depth_scale (scale 1.0
+        # -> millimetre integers; quantization ~0.5mm << vsd delta 15mm)
+        cv2.imwrite(osp.join(scene_dir, "depth", f"{im_id:06d}.png"),
+                    np.round(scene_depth * 1000.0).astype(np.uint16))
         scene_gt[str(im_id)] = gts
         scene_gt_info[str(im_id)] = infos
         scene_camera[str(im_id)] = {"cam_K": K.reshape(-1).tolist(), "depth_scale": 1.0}

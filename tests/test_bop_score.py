@@ -102,6 +102,89 @@ def test_vsd_perfect_and_shifted(scored_setup):
     assert errs_bad[0] >= errs_bad[-1] - 1e-6  # monotone non-increasing in tau
 
 
+def test_vsd_through_score_results(scored_setup):
+    """vsd as a first-class ERROR_TYPE: depth_path-carrying records feed
+    score_results and AR_bop19 = mean(vsd, mssd, mspd). Perfect estimates
+    score 1.0; missing estimates are all-threshold failures."""
+    meta, records, models = scored_setup
+    assert all("depth_path" in r for r in records)  # fixture writes depth/
+    results = _results_from_gts(records)
+    scores = score_results(results, records, models, "vsd,mssd,mspd")
+    assert scores["vsd"]["avg"] == pytest.approx(1.0)
+    assert bop19_average_recall(scores) == pytest.approx(1.0)
+
+    # drop the estimates of one object entirely: its vsd recall is 0 (the
+    # all-ones miss rows fail every threshold), the other stays 1.0
+    kept = [r for r in results if r["obj_id"] == 1]
+    s2 = score_results(kept, records, models, "vsd")
+    assert s2["vsd"]["cube"] == pytest.approx(1.0)
+    assert s2["vsd"]["brick"] == pytest.approx(0.0)
+    assert s2["vsd"]["avg"] == pytest.approx(0.5)
+
+
+def test_vsd_matches_numpy_reference(scored_setup):
+    """vsd_from_depths vs a direct numpy transcription of the reference
+    pose_error.vsd (lib/pysixd/pose_error.py:22-129, visibility.py:44-71,
+    bop19 mode) on the fixture's real scene depth (includes cross-object
+    occlusion in d_test) with a perturbed estimate."""
+    meta, records, models = scored_setup
+    from gdrnet_tpu.data.io import load_depth
+
+    rec = next(r for r in records if r["obj_id"] == 1)
+    name = meta.id2obj[rec["obj_id"]]
+    verts, faces = models.full_points[name], models.faces[name]
+    dia = models.diameters[name]
+    d_test = load_depth(rec["depth_path"], rec.get("depth_scale", 1.0))
+
+    ax = np.array([0.3, -0.5, 0.8]); ax /= np.linalg.norm(ax)
+    a = np.radians(10.0)
+    Kx = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]], [-ax[1], ax[0], 0]])
+    R_est = ((np.eye(3) + np.sin(a) * Kx + (1 - np.cos(a)) * Kx @ Kx)
+             @ rec["R"]).astype(np.float32)
+    t_est = rec["t"] + np.array([0.01, 0.0, 0.02], np.float32)
+
+    taus = np.arange(0.05, 0.51, 0.05).astype(np.float32)
+    delta = 15.0 / 1000.0
+    errs = vsd(R_est, t_est, rec["R"], rec["t"], d_test, rec["K"],
+               verts, faces, delta=delta, taus=taus, diameter=dia)
+
+    # ---- numpy twin of the reference (same renders, f64 math) ----
+    def dist_im(depth, K):
+        h, w = depth.shape
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+        xn = (xs - K[0, 2]) / K[0, 0]
+        yn = (ys - K[1, 2]) / K[1, 1]
+        return depth * np.sqrt(xn * xn + yn * yn + 1.0)
+
+    de = np.asarray(render_xyz(verts, faces, rec["K"], R_est, t_est,
+                               height=meta.height, width=meta.width)[0])
+    dg = np.asarray(render_xyz(verts, faces, rec["K"], rec["R"], rec["t"],
+                               height=meta.height, width=meta.width)[0])
+    dt_, de_, dg_ = dist_im(d_test, rec["K"]), dist_im(de, rec["K"]), \
+        dist_im(dg, rec["K"])
+    visib_gt = ((dg_ - dt_ <= delta) | (dt_ == 0)) & (dg_ > 0)
+    visib_est = (((de_ - dt_ <= delta) | (dt_ == 0)) & (de_ > 0)) \
+        | (visib_gt & (de_ > 0))
+    inter = visib_gt & visib_est
+    union = visib_gt | visib_est
+    comp = union.sum() - inter.sum()
+    dists = np.abs(dg_[inter] - de_[inter]) / dia
+    errs_np = [(np.sum(dists >= tau) + comp) / union.sum() for tau in taus]
+
+    assert errs.shape == (len(taus),)
+    assert errs == pytest.approx(errs_np, abs=1e-4)
+    assert errs[0] > 0.1  # the perturbation is actually visible
+
+
+def test_vsd_requires_depth(scored_setup):
+    meta, records, models = scored_setup
+    results = _results_from_gts(records)
+    stripped = [{k: v for k, v in r.items()
+                 if k not in ("depth_path", "depth_scale")} for r in records]
+    with pytest.raises(ValueError, match="depth"):
+        score_results(results, stripped, models, "vsd")
+
+
 def test_depth_to_dist_center_pixel():
     K = np.array([[280.0, 0, 16], [0, 280.0, 12], [0, 0, 1]], np.float32)
     depth = np.zeros((24, 32), np.float32)

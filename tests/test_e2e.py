@@ -110,13 +110,17 @@ def test_train_eval_resume(fixture_env, tmp_path):
     model = build_model(cfg)
     _, records = resolve("fixture_test")
     cfg.VAL.USE_BOP = True
-    cfg.VAL.ERROR_TYPES = "ad,rete,proj"
+    # vsd included: BOP19 AR = mean(vsd, mssd, mspd) end-to-end through
+    # do_test (depth_path records -> eval/bop_score._vsd_errors_by_obj)
+    cfg.VAL.ERROR_TYPES = "ad,rete,proj,vsd,mssd,mspd"
     results = do_test(cfg, model, state.variables(), models, records,
                       output_dir=cfg.OUTPUT_DIR)
     assert "Avg" in results
-    assert set(results["_bop"]) == {"ad", "rete", "proj"}
+    assert set(results["_bop"]) == {"ad", "rete", "proj", "vsd", "mssd", "mspd"}
     assert 0.0 <= results["_bop"]["ad"]["avg"] <= 1.0
-    assert 0.0 <= results["_bop_average_recall"] <= 1.0
+    assert 0.0 <= results["_bop"]["vsd"]["avg"] <= 1.0
+    assert results["_bop_average_recall"] == pytest.approx(np.mean(
+        [results["_bop"][k]["avg"] for k in ("vsd", "mssd", "mspd")]))
     for name in ("cube", "brick"):
         assert name in results
         assert 0.0 <= results[name]["ad_10"] <= 1.0
