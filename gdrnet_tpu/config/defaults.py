@@ -127,6 +127,10 @@ _DEFAULTS = dict(
         ROI_BATCH_SIZE=64,  # padded ROI bucket size at test (TPU static shapes)
         # crop ROIs on device from raw deduped frames (serving path)
         DEVICE_PREPROCESS=False,
+        # CE-mode xyz decode: "center" ((idx+0.5)/bin, for self-trained
+        # models) | "reference" (idx/(bin-1), bit-faithful to converted
+        # reference checkpoints — engine_utils.py:103)
+        CE_DECODE_TYPE="center",
     ),
     # MODEL: reference gdrn_base.py MODEL dict
     MODEL=dict(

@@ -10,21 +10,29 @@ import jax.numpy as jnp
 
 
 def get_out_coor(coor_x: jnp.ndarray, coor_y: jnp.ndarray, coor_z: jnp.ndarray,
-                 xyz_bin: int = 64) -> jnp.ndarray:
+                 xyz_bin: int = 64, decode_type: str = "center") -> jnp.ndarray:
     """[B,H,W,1] (L1 mode) or [B,H,W,bin+1] (CE mode, last=bg) per channel ->
     [B,H,W,3] coords in [0,1] (engine_utils.get_out_coor:92-105: argmax over
-    bins excluding bg, then bin index / bin)."""
+    all bins, bg-argmax pixels zeroed, then normalized).
+
+    decode_type:
+      "center"    (idx+0.5)/bin — unbiased for the floor(x*bin) bin encoding;
+                  the right choice for models trained in this repo.
+      "reference" idx/(bin-1) — bit-faithful to engine_utils.py:103 so
+                  converted reference checkpoints trained in CE mode decode
+                  exactly as the reference would (TEST.CE_DECODE_TYPE)."""
+    if decode_type not in ("center", "reference"):
+        raise ValueError(f"unknown CE decode type: {decode_type}")
     outs = []
     for c in (coor_x, coor_y, coor_z):
         if c.shape[-1] == 1:
             outs.append(c[..., 0])
         else:
-            # bin-center decode ((idx+0.5)/bin: unbiased for the floor(x*bin)
-            # encoding — the reference uses idx/(bin-1), engine_utils.py:103);
-            # pixels whose argmax is the bg bin decode to 0 (:102 zeroes bg)
             idx = jnp.argmax(c[..., :-1], axis=-1).astype(jnp.float32)
             is_fg = jnp.argmax(c, axis=-1) < c.shape[-1] - 1
-            outs.append(jnp.where(is_fg, (idx + 0.5) / xyz_bin, 0.0))
+            dec = ((idx + 0.5) / xyz_bin if decode_type == "center"
+                   else idx / (xyz_bin - 1))
+            outs.append(jnp.where(is_fg, dec, 0.0))
     return jnp.stack(outs, axis=-1)
 
 

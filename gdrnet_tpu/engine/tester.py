@@ -170,7 +170,8 @@ def do_test(cfg, model, variables, models, records: list[dict],
         if use_pnp:
             xyz_dec = np.asarray(get_out_coor(
                 out["coor_x"], out["coor_y"], out["coor_z"],
-                cfg.MODEL.CDPN.ROT_HEAD.XYZ_BIN))
+                cfg.MODEL.CDPN.ROT_HEAD.XYZ_BIN,
+                decode_type=cfg.TEST.get("CE_DECODE_TYPE", "center")))
             mask_dec = np.asarray(get_out_mask(
                 out["mask"], cfg.MODEL.CDPN.ROT_HEAD.MASK_LOSS_TYPE))
         if start > 0:  # warmup-excluded timing (gdrn_evaluator.py:545-560)

@@ -77,7 +77,20 @@ def main(argv=None):
         state = create_train_state(model, build_optimizer(cfg), sample,
                                    jax.random.PRNGKey(0))
         ckpt_dir = cfg.MODEL.WEIGHTS or osp.join(cfg.OUTPUT_DIR, "ckpt")
-        state = load_params_for_eval(ckpt_dir, state)
+        if ckpt_dir.endswith((".pth", ".pt")):
+            # reference torch checkpoint: convert in-memory (the reference
+            # loads .pth via MyCheckpointer, core/utils/my_checkpoint.py:26-54)
+            from gdrnet_tpu.utils.torch_convert import load_torch_checkpoint
+
+            rh = cfg.MODEL.CDPN.ROT_HEAD
+            pnp_head_cfg = cfg.MODEL.CDPN.PNP_NET.get("PNP_HEAD_CFG", {})
+            params, batch_stats = load_torch_checkpoint(
+                ckpt_dir, head_num_layers=rh.NUM_LAYERS, head_norm=rh.NORM,
+                pnp_norm=pnp_head_cfg.get("norm", "GN"),
+                pnp_num_layers=pnp_head_cfg.get("num_layers", 3))
+            state = state.replace(params=params, batch_stats=batch_stats)
+        else:
+            state = load_params_for_eval(ckpt_dir, state)
         results = do_test(cfg, model, state.variables(), models, records,
                           output_dir=cfg.OUTPUT_DIR, data_root=args.data_root)
         print(results["_summary"])

@@ -180,6 +180,189 @@ class TorchPnP(tnn.Module):
         return self.fc_r(x), self.fc_t(x)
 
 
+def _normalize_t(v, eps=1e-8):
+    return v / (v.norm(dim=1, keepdim=True) + eps)
+
+
+def _ortho6d_to_mat_t(poses):
+    """Reference ortho6d_to_mat_batch (core/utils/rot_reps.py:34-48)."""
+    x = _normalize_t(poses[:, 0:3])
+    z = _normalize_t(torch.cross(x, poses[:, 3:6], dim=1))
+    y = torch.cross(z, x, dim=1)
+    return torch.stack([x, y, z], dim=2)  # columns
+
+
+def _quat2mat_t(q):
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    return torch.stack([
+        1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+        2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+        2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+    ], dim=1).view(-1, 3, 3)
+
+
+def _allo_to_ego_mat_t(translation, rot_allo, eps=0.0):
+    """Reference allo->ego. eps=1e-4 gives the additive-eps TRAIN path
+    (allo_to_ego_mat_torch, core/utils/utils.py:208-238); eps=0 gives the
+    exact-normalization TEST path (allocentric_to_egocentric numpy,
+    utils.py:39-95 — what checkpoint evaluation runs through). The two
+    differ by ~4e-3 in R; this repo's allo_to_ego_mat matches the test
+    path (to ~3e-7), see ops/rotation.py:286 NOTE."""
+    obj_ray = translation / (translation.norm(dim=1, keepdim=True) + eps)
+    angle = obj_ray[:, 2:3].acos()
+    cam_ray = torch.tensor([0.0, 0.0, 1.0]).expand_as(obj_ray)
+    axis = torch.cross(cam_ray, obj_ray, dim=1)
+    axis = axis / (axis.norm(dim=1, keepdim=True) + eps)
+    q = torch.cat([torch.cos(angle / 2.0), axis * torch.sin(angle / 2.0)], dim=1)
+    return torch.matmul(_quat2mat_t(q), rot_allo)
+
+
+class TorchGDRNComposed(tnn.Module):
+    """Full-composition torch twin of the flagship GDRN forward (reference
+    GDRN.py:83-306): backbone -> rot_head -> [mask|xyz|region] split ->
+    denorm-by-extent + 2D-coord concat + region attention -> ConvPnPNet ->
+    ortho6d -> SITE decode (pose_from_pred_centroid_z.py:144-227, REL z)."""
+
+    def __init__(self, num_regions=4):
+        super().__init__()
+        self.num_regions = num_regions
+        self.backbone = TorchBackbone()
+        self.rot_head = TorchRotHead(in_ch=512, nf=64,
+                                     out_ch=1 + 3 + (num_regions + 1))
+        self.pnp = TorchPnP(nin=3 + 2 + num_regions, featdim=32, rot_dim=6,
+                            spatial=16)
+        self.pnp.fc1 = tnn.Linear(32 * 2 * 2, 1024)
+        self.pnp.fc2 = tnn.Linear(1024, 256)
+        self.pnp.fc_r = tnn.Linear(256, 6)
+        self.pnp.fc_t = tnn.Linear(256, 3)
+
+    def forward(self, x, coord_2d, extents, cams, centers, whs, ratios):
+        feat = self.backbone(x)                   # [B,512,2,2]
+        out = self.rot_head(feat)                 # [B,C,16,16]
+        coor = out[:, 1:4]
+        region = out[:, 4:]
+        # ConvPnPNet input assembly (conv_pnp_net.py:111-136): denorm first 3
+        # channels by extents, concat 2D coords, concat region softmax (bg
+        # channel 0 excluded, GDRN.py:169)
+        xyz = (coor - 0.5) * extents[:, :, None, None]
+        pnp_in = torch.cat([xyz, coord_2d,
+                            torch.softmax(region[:, 1:], dim=1)], dim=1)
+        rot6d, t_ = self.pnp(pnp_in)
+        rot_allo = _ortho6d_to_mat_t(rot6d)
+        # SITE: centroid offset in bbox units + REL z
+        cx = t_[:, 0] * whs[:, 0] + centers[:, 0]
+        cy = t_[:, 1] * whs[:, 1] + centers[:, 1]
+        z = t_[:, 2] * ratios
+        tx = z * (cx - cams[:, 0, 2]) / cams[:, 0, 0]
+        ty = z * (cy - cams[:, 1, 2]) / cams[:, 1, 1]
+        trans = torch.stack([tx, ty, z], dim=1)
+        rot_ego = _allo_to_ego_mat_t(trans, rot_allo)
+        return rot_ego, trans
+
+
+def test_full_gdrn_composed_parity(rng):
+    """End-to-end pose parity of the composed model: torch twin forward vs
+    converted flax GDRN forward agree on R (3x3) and t to f32 tolerance.
+    This is the whole-checkpoint gate the per-module tests approximate
+    (docs/parity_runbook.md)."""
+    from gdrnet_tpu.models.gdrn import GDRN
+
+    tm = TorchGDRNComposed().eval()
+    _randomize(tm, seed=7)
+    # random init leaves rot6d outputs ~0.1; the normalize/cross chain in
+    # ortho6d amplifies relative f32 error there ~100x. Trained checkpoints
+    # emit O(1) rot6d, so scale the final fcs to make the gate realistic.
+    with torch.no_grad():
+        tm.pnp.fc_r.weight.mul_(10.0)
+        tm.pnp.fc_t.weight.mul_(5.0)
+    sd = {}
+    for k, v in tm.state_dict().items():
+        key = {"backbone": "backbone", "rot_head": "rot_head_net",
+               "pnp": "pnp_net"}[k.split(".")[0]]
+        sd[key + k[k.index("."):]] = v
+    params, stats = convert_torch_state_dict(sd, head_norm="BN", pnp_norm="GN")
+
+    B = 3
+    x = rng.rand(B, 64, 64, 3).astype(np.float32)
+    coord_2d = rng.rand(B, 16, 16, 2).astype(np.float32)
+    extents = (rng.rand(B, 3).astype(np.float32) * 0.1 + 0.05)
+    cams = np.tile(np.array([[280.0, 0, 160], [0, 280.0, 120], [0, 0, 1]],
+                            np.float32), (B, 1, 1))
+    centers = rng.rand(B, 2).astype(np.float32) * 100 + 100
+    whs = rng.rand(B, 2).astype(np.float32) * 60 + 40
+    ratios = rng.rand(B).astype(np.float32) * 0.5 + 0.5
+
+    with torch.no_grad():
+        want_R, want_t = tm(
+            torch.from_numpy(np.transpose(x, (0, 3, 1, 2))),
+            torch.from_numpy(np.transpose(coord_2d, (0, 3, 1, 2))),
+            torch.from_numpy(extents), torch.from_numpy(cams),
+            torch.from_numpy(centers), torch.from_numpy(whs),
+            torch.from_numpy(ratios))
+
+    fm = GDRN(backbone_depth=18, num_regions=4, head_num_filters=64,
+              head_norm="BN", pnp_featdim=32, pnp_norm="GN", pnp_gn_groups=4,
+              with_2d_coord=True, region_attention=True,
+              rot_type="allo_rot6d", trans_type="centroid_z", z_type="REL")
+    out = fm.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x),
+        roi_coord_2d=jnp.asarray(coord_2d), roi_cams=jnp.asarray(cams),
+        roi_centers=jnp.asarray(centers), roi_whs=jnp.asarray(whs),
+        roi_extents=jnp.asarray(extents), resize_ratios=jnp.asarray(ratios),
+        train=False)
+    got_R, got_t = np.asarray(out["rot"]), np.asarray(out["trans"])
+    # tolerance: ~2e-3 of f32 conv-stack noise accumulates through the
+    # randomized 20-layer composition; semantic bugs (wrong channel split,
+    # train-path eps in allo->ego, missing attention) are >= 4e-3
+    np.testing.assert_allclose(got_R, want_R.numpy(), atol=3e-3)
+    np.testing.assert_allclose(got_t, want_t.numpy(), rtol=2e-3, atol=2e-4)
+    # sanity: outputs are valid rotations
+    for i in range(B):
+        np.testing.assert_allclose(got_R[i] @ got_R[i].T, np.eye(3), atol=1e-4)
+
+
+def test_load_torch_checkpoint_pth(tmp_path, rng):
+    """MODEL.WEIGHTS=<file>.pth eval path: a saved reference-style .pth
+    (with a DDP-ish 'model' wrapper key) converts identically to the
+    in-memory state_dict conversion."""
+    from gdrnet_tpu.utils.torch_convert import load_torch_checkpoint
+
+    tm = TorchGDRNComposed().eval()
+    _randomize(tm, seed=11)
+    sd = {}
+    for k, v in tm.state_dict().items():
+        key = {"backbone": "backbone", "rot_head": "rot_head_net",
+               "pnp": "pnp_net"}[k.split(".")[0]]
+        sd[key + k[k.index("."):]] = v
+    want_params, want_stats = convert_torch_state_dict(
+        sd, head_norm="BN", pnp_norm="GN")
+    path = str(tmp_path / "ckpt.pth")
+    torch.save({"model": sd, "iteration": 123}, path)
+    params, stats = load_torch_checkpoint(path, head_norm="BN", pnp_norm="GN")
+    jax.tree.map(np.testing.assert_array_equal, params, want_params)
+    jax.tree.map(np.testing.assert_array_equal, stats, want_stats)
+
+
+def test_ce_decode_reference_mode(rng):
+    """get_out_coor decode_type='reference' is bit-faithful to
+    engine_utils.get_out_coor (engine_utils.py:92-105): argmax over all bins,
+    bg-argmax pixels zeroed, idx/(bin-1)."""
+    from gdrnet_tpu.engine.decode import get_out_coor
+
+    B_, H_, W_, nbin = 2, 4, 4, 8
+    logits = [rng.randn(B_, H_, W_, nbin + 1).astype(np.float32)
+              for _ in range(3)]
+    got = np.asarray(get_out_coor(*[jnp.asarray(l) for l in logits],
+                                  xyz_bin=nbin, decode_type="reference"))
+    want = []
+    for l in logits:
+        t = torch.from_numpy(np.transpose(l, (0, 3, 1, 2)))
+        idx = torch.argmax(t, dim=1)
+        idx[idx == nbin] = 0
+        want.append((idx / float(nbin - 1)).numpy())
+    np.testing.assert_allclose(got, np.stack(want, axis=-1), atol=1e-7)
+
+
 def test_pnp_net_parity(rng):
     tp = _randomize(TorchPnP(), seed=3).eval()
     sd = {f"pnp_net.{k}": v for k, v in tp.state_dict().items()}
