@@ -130,23 +130,36 @@ def do_test(cfg, model, variables, models, records: list[dict],
 
     # TPU-first packing: flatten every (image, detection) into one stream and
     # fill each static bucket COMPLETELY (the reference batches per image,
-    # data_loader.py:389 — that leaves most of a fixed bucket empty)
+    # data_loader.py:389 — that leaves most of a fixed bucket empty).
+    # Estimates are matched to GT per (image, object) AFTER inference so
+    # images with several instances of the same object score every instance
+    # (the reference custom evaluator collapses them to one file_name-keyed
+    # entry, gdrn_custom_evaluator.py:481-491 — a known blind spot for
+    # YCB-V-style duplicate-object scenes; the BOP path matches per
+    # instance, and so does this).
+    groups: list[dict] = []
     flat: list[tuple] = []
     for rgb_path, K, rois, info in items:
-        # one GT per (image, object) — like the reference custom evaluator's
-        # file_name-keyed gts (gdrn_custom_evaluator.py); images with several
-        # instances of the SAME object collapse to the last one here. The
-        # VAL.USE_BOP path (match_estimates_to_gt) handles duplicates.
-        gts_by_obj = {g["obj_id"]: g for g in info["gts"]}
+        gts_by_obj: dict = defaultdict(list)
+        for g in info["gts"]:
+            gts_by_obj[int(g["obj_id"])].append(g)
+        dets_by_obj: dict = defaultdict(list)
         for det in rois:
-            oid = int(det["obj_id"])
-            flat.append((rgb_path, K, det,
-                         {"scene_id": info["scene_id"], "im_id": info["im_id"],
-                          "gt": gts_by_obj.get(oid)}))
+            dets_by_obj[int(det["obj_id"])].append(det)
+        for oid, dets in dets_by_obj.items():
+            grp = {"scene_id": info["scene_id"], "im_id": info["im_id"],
+                   "obj_id": oid, "gts": gts_by_obj.get(oid, []), "ests": []}
+            groups.append(grp)
+            for det in dets:
+                flat.append((rgb_path, K, det, grp))
 
-    if num_shards > 1:  # contiguous shard of the flat ROI stream
-        per = -(-len(flat) // num_shards)
-        flat = flat[shard * per:(shard + 1) * per]
+    if num_shards > 1:
+        # contiguous shard of GROUPS (not raw dets) so every group's
+        # estimates land on one shard and est<->gt matching stays local
+        per = -(-len(groups) // num_shards)
+        groups = groups[shard * per:(shard + 1) * per]
+        shard_groups = set(id(g) for g in groups)
+        flat = [f for f in flat if id(f[3]) in shard_groups]
 
     bop_results = []
     total_compute, total_process, n_buckets = 0.0, 0.0, 0
@@ -202,11 +215,37 @@ def do_test(cfg, model, variables, models, records: list[dict],
                 "obj_id": obj_id, "score": float(batch["scores"][j]),
                 "R": rot[j], "t": trans[j] * 1000.0,
                 "time": (time.perf_counter() - t0)})
-            gt = meta_j["gt"]
-            if gt is not None:
-                evaluator.process(name, rot[j], trans[j], gt["R"], gt["t"], gt["K"])
+            meta_j["ests"].append({"R": rot[j].copy(), "t": trans[j].copy(),
+                                   "score": float(batch["scores"][j])})
         if start > 0:
             total_process += time.perf_counter() - t1
+
+    # est<->gt matching per (image, object) group: best-score estimate first,
+    # each takes the remaining GT instance nearest in translation (greedy,
+    # BOP-protocol style — pose_matching.py semantics with te as the
+    # matching cost). One scored pair per GT instance; with EVAL_PRECISION
+    # every surplus estimate is also judged against its nearest GT
+    # (reference _eval_predictions_precision judges per estimate).
+    for grp in groups:
+        gts = grp["gts"]
+        if not gts:
+            continue
+        name = models.meta.id2obj[grp["obj_id"]]
+        ests = sorted(grp["ests"], key=lambda e: -e["score"])
+        remaining = list(range(len(gts)))
+        matched: list[tuple] = []
+        for est in ests:
+            if remaining:
+                k = min(remaining, key=lambda i: float(
+                    np.linalg.norm(est["t"] - gts[i]["t"])))
+                remaining.remove(k)
+                matched.append((est, gts[k]))
+            elif cfg.VAL.get("EVAL_PRECISION", False):
+                k = min(range(len(gts)), key=lambda i: float(
+                    np.linalg.norm(est["t"] - gts[i]["t"])))
+                matched.append((est, gts[k]))
+        for est, gt in matched:
+            evaluator.process(name, est["R"], est["t"], gt["R"], gt["t"], gt["K"])
 
     if num_shards > 1:
         # gather every shard's raw (pose, gt) pairs, then score globally

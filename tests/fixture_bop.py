@@ -59,7 +59,11 @@ def _rand_rot(rng):
 
 
 def build_fixture_dataset(root: str, n_images: int = 6, seed: int = 0,
-                          split: str = "test") -> DatasetMeta:
+                          split: str = "test",
+                          duplicate_first_obj: bool = False) -> DatasetMeta:
+    """duplicate_first_obj: render object 1 TWICE per image (two instances
+    of the same object in one scene, YCB-V-style) — exercises per-instance
+    GT matching in evaluators."""
     rng = np.random.RandomState(seed)
     os.makedirs(root, exist_ok=True)
     model_dir = osp.join(root, "models")
@@ -94,13 +98,20 @@ def build_fixture_dataset(root: str, n_images: int = 6, seed: int = 0,
         # scene depth z-buffer across instances -> depth/ png (vsd's d_test)
         scene_depth = np.zeros((H, W), np.float32)
         gts, infos = [], []
-        for inst_i, oid in enumerate(sorted(objs)):
+        inst_objs = list(sorted(objs))
+        if duplicate_first_obj:
+            inst_objs = [inst_objs[0]] + inst_objs
+            x_slots, x_jitter = [-0.09, 0.0, 0.09], 0.02
+        else:
+            x_slots, x_jitter = [-0.07, 0.07], 0.04
+        for inst_i, oid in enumerate(inst_objs):
             v, f = objs[oid]
             R = _rand_rot(rng)
-            t = np.array([rng.uniform(-0.04, 0.04), rng.uniform(-0.03, 0.03),
+            t = np.array([rng.uniform(-x_jitter, x_jitter),
+                          rng.uniform(-0.03, 0.03),
                           rng.uniform(0.45, 0.7)], np.float32)
-            # separate the two instances horizontally to limit occlusion
-            t[0] += -0.07 if inst_i == 0 else 0.07
+            # separate instances horizontally to limit occlusion
+            t[0] += x_slots[inst_i]
             depth, xyz = render_xyz(v, f, K, R, t, height=H, width=W)
             depth, xyz = np.asarray(depth), np.asarray(xyz)
             mask = (depth > 0).astype(np.uint8)

@@ -100,6 +100,50 @@ def test_do_test_sharded_partitions_rois(env, tmp_path):
     assert sorted(map(key, half0 + half1)) == sorted(map(key, full))
 
 
+def test_do_test_duplicate_object_instances(tmp_path):
+    """Two instances of the SAME object in one image must both count in the
+    recall denominators: est<->gt matching is per (image, object, instance),
+    not last-wins per object (the reference custom evaluator's
+    file_name-keyed gts collapse these, gdrn_custom_evaluator.py:481-491)."""
+    n_images = 2
+    meta = build_fixture_dataset(str(tmp_path / "dup"), n_images=n_images,
+                                 seed=13, duplicate_first_obj=True)
+    records = load_bop_scene_dicts(meta, "test")
+    # the fixture renders cube twice + brick once per image
+    from collections import Counter
+    per_img = Counter((r["im_id"], r["label"]) for r in records)
+    assert per_img[(0, "cube")] == 2 and per_img[(0, "brick")] == 1
+
+    models = ObjectModels(meta, num_pm_points=64, num_fps=4)
+    cfg = base_config()
+    cfg.MODEL.CDPN.BACKBONE.NUM_LAYERS = 18
+    cfg.MODEL.CDPN.BACKBONE.INPUT_RES = 64
+    cfg.MODEL.CDPN.BACKBONE.OUTPUT_RES = 16
+    cfg.MODEL.CDPN.ROT_HEAD.NUM_CLASSES = 2
+    cfg.MODEL.CDPN.ROT_HEAD.NUM_REGIONS = 4
+    cfg.TEST.ROI_BATCH_SIZE = 4
+    model = build_model(cfg)
+    import jax.numpy as jnp
+    sample = {k: jnp.asarray(v) for k, v in synthetic_roi_batch(
+        batch_size=2, input_res=64, out_res=16).items()}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, sample["roi_img"],
+        roi_classes=sample["roi_classes"], roi_coord_2d=sample["roi_coord_2d"],
+        roi_cams=sample["roi_cams"], roi_centers=sample["roi_centers"],
+        roi_whs=sample["roi_whs"], roi_extents=sample["roi_extents"],
+        resize_ratios=sample["resize_ratios"], train=False)
+
+    results = do_test(cfg, model, variables, models, records,
+                      output_dir=str(tmp_path / "out"))
+    # every GT instance is a denominator entry: 2 cubes + 1 brick per image
+    assert results["cube"]["count"] == 2 * n_images
+    assert results["brick"]["count"] == 1 * n_images
+    # CSV carries every estimate row too
+    from gdrnet_tpu.eval import load_bop_results
+    rows = load_bop_results(results["_csv_path"])
+    assert len(rows) == 3 * n_images
+
+
 def test_decode_semantics():
     """get_out_coor: bin-center decode with bg-argmax pixels zeroed
     (engine_utils.py:92-105); get_out_mask L1: per-image min-max
