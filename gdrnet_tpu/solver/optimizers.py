@@ -87,14 +87,21 @@ def scale_by_radam(b1: float = 0.95, b2: float = 0.999, eps: float = 1e-5,
         nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, updates)
 
         t = count.astype(jnp.float32)
-        beta2_t = jnp.power(b2, t)
+        # 1 - b^t via expm1: the naive form cancels catastrophically in f32
+        # at small t (~2e-5 relative at t=6 for b2=0.999) — the torch
+        # reference computes these scalars in f64 python floats
+        import math as _math
+
+        one_m_beta2_t = -jnp.expm1(t * _math.log(b2))
+        one_m_beta1_t = -jnp.expm1(t * _math.log(b1))
+        beta2_t = 1.0 - one_m_beta2_t
         sma_max = 2.0 / (1 - b2) - 1.0
-        sma = sma_max - 2.0 * t * beta2_t / (1 - beta2_t)
+        sma = sma_max - 2.0 * t * beta2_t / one_m_beta2_t
         rect = jnp.sqrt(
-            jnp.maximum((1 - beta2_t) * (sma - 4) / (sma_max - 4) * (sma - 2)
+            jnp.maximum(one_m_beta2_t * (sma - 4) / (sma_max - 4) * (sma - 2)
                         / jnp.maximum(sma, 1e-8) * sma_max / (sma_max - 2), 0.0)
-        ) / (1 - jnp.power(b1, t))
-        plain = 1.0 / (1 - jnp.power(b1, t))
+        ) / one_m_beta1_t
+        plain = 1.0 / one_m_beta1_t
         use_rect = sma > sma_threshold
 
         def _upd(m, v):
@@ -177,6 +184,100 @@ def ranger(learning_rate: ScalarOrSchedule, alpha: float = 0.5, k: int = 6,
         chain.append(optax.add_decayed_weights(weight_decay))
     chain.append(_lr_scale(learning_rate))
     return with_lookahead(optax.chain(*chain), alpha=alpha, k=k)
+
+
+class ScaleByRadam2020State(NamedTuple):
+    count: chex.Array
+    mu: Any
+    nu: Any
+
+
+def scale_by_radam2020(b1: float = 0.95, b2: float = 0.999, eps: float = 1e-5,
+                       sma_threshold: float = 5.0, weight_decay: float = 0.0,
+                       use_gc: bool = True, gc_conv_only: bool = False,
+                       gc_loc: bool = True) -> optax.GradientTransformation:
+    """Ranger2020's inner update (reference lib/torch_utils/solver/
+    ranger2020.py:135-240). Differs from the original ranger.py in two ways:
+
+    1. weight decay joins the update BEFORE the rectified step size
+       (`G += wd*p; p -= step_size*lr*G`, :228-236) — so wd is scaled by the
+       RAdam rectifier, where ranger.py applies `p -= wd*lr*p` unscaled
+       (:178-179).
+    2. `gc_loc` picks where gradient centralization runs: on the raw
+       gradient (True, default) or on the adaptive update G (False,
+       :181-182, :237-239).
+    """
+    thresh = 3 if gc_conv_only else 1
+
+    def _gc_tree(t):
+        def gc(g):
+            if g.ndim > thresh:
+                axes = tuple(range(g.ndim - 1))
+                return g - jnp.mean(g, axis=axes, keepdims=True)
+            return g
+        return jax.tree.map(gc, t)
+
+    def init_fn(params):
+        return ScaleByRadam2020State(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        if weight_decay > 0:
+            assert params is not None, "ranger2020 weight decay needs params"
+        if use_gc and gc_loc:
+            updates = _gc_tree(updates)
+        count = state.count + 1
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, updates)
+
+        t = count.astype(jnp.float32)
+        # 1 - b^t via expm1: the naive form cancels catastrophically in f32
+        # at small t (~2e-5 relative at t=6 for b2=0.999) — the torch
+        # reference computes these scalars in f64 python floats
+        import math as _math
+
+        one_m_beta2_t = -jnp.expm1(t * _math.log(b2))
+        one_m_beta1_t = -jnp.expm1(t * _math.log(b1))
+        beta2_t = 1.0 - one_m_beta2_t
+        sma_max = 2.0 / (1 - b2) - 1.0
+        sma = sma_max - 2.0 * t * beta2_t / one_m_beta2_t
+        rect = jnp.sqrt(
+            jnp.maximum(one_m_beta2_t * (sma - 4) / (sma_max - 4) * (sma - 2)
+                        / jnp.maximum(sma, 1e-8) * sma_max / (sma_max - 2), 0.0)
+        ) / one_m_beta1_t
+        plain = 1.0 / one_m_beta1_t
+        use_rect = sma > sma_threshold
+        step_size = jnp.where(use_rect, rect, plain)
+
+        g_tree = jax.tree.map(
+            lambda m, v: jnp.where(use_rect, m / (jnp.sqrt(v) + eps), m),
+            mu, nu)
+        if weight_decay > 0:
+            g_tree = jax.tree.map(lambda g, p: g + weight_decay * p,
+                                  g_tree, params)
+        if use_gc and not gc_loc:
+            g_tree = _gc_tree(g_tree)
+        new_updates = jax.tree.map(lambda g: step_size * g, g_tree)
+        return new_updates, ScaleByRadam2020State(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def ranger2020(learning_rate: ScalarOrSchedule, alpha: float = 0.5, k: int = 6,
+               b1: float = 0.95, b2: float = 0.999, eps: float = 1e-5,
+               weight_decay: float = 0.0, use_gc: bool = True,
+               gc_conv_only: bool = False, gc_loc: bool = True,
+               sma_threshold: float = 5.0) -> optax.GradientTransformation:
+    """Ranger2020 (reference ranger2020.py): radam2020 core -> lr, wrapped
+    in Lookahead. See scale_by_radam2020 for the deltas vs ranger()."""
+    return with_lookahead(optax.chain(
+        scale_by_radam2020(b1=b1, b2=b2, eps=eps, sma_threshold=sma_threshold,
+                           weight_decay=weight_decay, use_gc=use_gc,
+                           gc_conv_only=gc_conv_only, gc_loc=gc_loc),
+        _lr_scale(learning_rate)), alpha=alpha, k=k)
 
 
 def radam(learning_rate: ScalarOrSchedule, b1: float = 0.9, b2: float = 0.999,
@@ -416,10 +517,10 @@ def _b_over9000(lr, oc):
 
 @_register("ranger2020")
 def _b_ranger2020(lr, oc):
-    # Ranger2020 differs from Ranger in GC defaults; same composition here
-    return ranger(lr, weight_decay=oc.get("weight_decay", 0.0),
-                  use_gc=oc.get("use_gc", True),
-                  gc_conv_only=oc.get("gc_conv_only", False))
+    return ranger2020(lr, weight_decay=oc.get("weight_decay", 0.0),
+                      use_gc=oc.get("use_gc", True),
+                      gc_conv_only=oc.get("gc_conv_only", False),
+                      gc_loc=oc.get("gc_loc", True))
 
 
 def build_optimizer(cfg, lr_schedule: Optional[Callable] = None,

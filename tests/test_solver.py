@@ -149,6 +149,81 @@ def test_optimizer_zoo_converges(name):
     assert _converges(opt, steps=600) < tol, name
 
 
+def test_ranger2020_matches_reference_trajectory():
+    """ranger2020 vs a numpy transcription of the reference step
+    (lib/torch_utils/solver/ranger2020.py:135-240): GC on raw grad
+    (gc_loc=True), wd added to G BEFORE the rectified step size, lookahead
+    sync every k. 20 steps cross the SMA threshold (first rectified step)
+    and three lookahead syncs; trajectories must agree to f32 eps."""
+    from gdrnet_tpu.solver.optimizers import ranger2020
+
+    b1, b2, eps, wd, lr, alpha, k, thr = 0.95, 0.999, 1e-5, 0.1, 0.05, 0.5, 6, 5.0
+    rng = np.random.RandomState(3)
+    # 2-d param exercises GC (all-but-last axes, flax layout); 1-d skips it
+    p0 = {"w": rng.randn(3, 4).astype(np.float32),
+          "b": rng.randn(4).astype(np.float32)}
+    grads = [{"w": rng.randn(3, 4).astype(np.float32),
+              "b": rng.randn(4).astype(np.float32)} for _ in range(20)]
+
+    # --- numpy twin
+    p = {n: v.copy() for n, v in p0.items()}
+    slow = {n: v.copy() for n, v in p0.items()}
+    mu = {n: np.zeros_like(v) for n, v in p0.items()}
+    nu = {n: np.zeros_like(v) for n, v in p0.items()}
+    for t, g in enumerate(grads, start=1):
+        beta2_t = b2 ** t
+        sma_max = 2 / (1 - b2) - 1
+        sma = sma_max - 2 * t * beta2_t / (1 - beta2_t)
+        if sma > thr:
+            step_size = np.sqrt((1 - beta2_t) * (sma - 4) / (sma_max - 4)
+                                * (sma - 2) / sma * sma_max / (sma_max - 2)
+                                ) / (1 - b1 ** t)
+        else:
+            step_size = 1.0 / (1 - b1 ** t)
+        for n in p:
+            gi = g[n]
+            if gi.ndim > 1:  # GC on raw grad (gc_loc=True)
+                gi = gi - gi.mean(axis=tuple(range(gi.ndim - 1)), keepdims=True)
+            mu[n] = b1 * mu[n] + (1 - b1) * gi
+            nu[n] = b2 * nu[n] + (1 - b2) * gi * gi
+            G = mu[n] / (np.sqrt(nu[n]) + eps) if sma > thr else mu[n]
+            G = G + wd * p[n]
+            p[n] = p[n] - step_size * lr * G
+            if t % k == 0:
+                slow[n] = slow[n] + alpha * (p[n] - slow[n])
+                p[n] = slow[n].copy()
+
+    # --- ours
+    opt = ranger2020(lr, alpha=alpha, k=k, b1=b1, b2=b2, eps=eps,
+                     weight_decay=wd)
+    params = {n: jnp.asarray(v) for n, v in p0.items()}
+    state = opt.init(params)
+    for g in grads:
+        updates, state = opt.update(
+            {n: jnp.asarray(v) for n, v in g.items()}, state, params)
+        params = optax.apply_updates(params, updates)
+
+    for n in p:
+        np.testing.assert_allclose(np.asarray(params[n]), p[n], atol=2e-6), n
+
+
+def test_ranger2020_differs_from_ranger():
+    """The alias would have passed convergence tests; the wd-inside-stepsize
+    semantics must actually diverge from ranger() on identical inputs."""
+    from gdrnet_tpu.solver.optimizers import ranger, ranger2020
+
+    p0 = {"w": jnp.asarray(np.linspace(-1, 1, 8).astype(np.float32))}
+    g = {"w": jnp.asarray(np.ones(8, np.float32))}
+    outs = []
+    for opt in (ranger(0.1, weight_decay=0.3), ranger2020(0.1, weight_decay=0.3)):
+        params, state = p0, opt.init(p0)
+        for _ in range(3):
+            updates, state = opt.update(g, state, params)
+            params = optax.apply_updates(params, updates)
+        outs.append(np.asarray(params["w"]))
+    assert np.abs(outs[0] - outs[1]).max() > 1e-4
+
+
 def test_grad_clip_wired():
     cfg = base_config()
     cfg.SOLVER.OPTIMIZER_CFG = {"type": "Adam", "lr": 1.0}
