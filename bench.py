@@ -12,6 +12,10 @@ Default benches the int8 serving path (TEST.INT8 semantics:
 models/quantize.py, calibrated on the bench batch) — quality-gated on chip
 by `tools/validate_overfit.py --int8` (ad_10 parity with bf16, mean_re
 +0.08 deg on the overfit fixture). `--bf16` benches the bf16 path.
+
+Flags: --bf16 | --fold-bn | --ckpt <orbax dir or converted .pth> (bench +
+int8-calibrate on real weights; default random init) | --config <cfg.py>
+(model dims for a non-flagship checkpoint) | --batch N | --iters N.
 """
 
 from __future__ import annotations
@@ -26,6 +30,10 @@ import jax.numpy as jnp
 BASELINE_CROPS_PER_SEC = 5000.0
 
 
+def _flag_value(name: str) -> str | None:
+    return sys.argv[sys.argv.index(name) + 1] if name in sys.argv else None
+
+
 def main():
     from gdrnet_tpu.config import base_config
     from gdrnet_tpu.models import build_model
@@ -35,10 +43,19 @@ def main():
     cfg.MODEL.CDPN.PNP_NET.WITH_2D_COORD = True
     cfg.MODEL.CDPN.PNP_NET.REGION_ATTENTION = True
     cfg.PARALLEL.DTYPE = "bfloat16"
+    cfg_path = _flag_value("--config")
+    if cfg_path:  # model dims of a non-flagship checkpoint
+        from gdrnet_tpu.config import load_config
+        from gdrnet_tpu.config.config import Config, merge_dict
+
+        cfg = Config(merge_dict(cfg.to_dict(), load_config(cfg_path).to_dict()))
     model = build_model(cfg)
 
-    batch_size = 1024
-    b = synthetic_roi_batch(batch_size=batch_size)
+    batch_size = int(_flag_value("--batch") or 1024)
+    input_res = cfg.MODEL.CDPN.BACKBONE.INPUT_RES
+    out_res = cfg.MODEL.CDPN.BACKBONE.OUTPUT_RES
+    b = synthetic_roi_batch(batch_size=batch_size, input_res=input_res,
+                            out_res=out_res)
     batch = {k: jnp.asarray(v) for k, v in b.items()}
 
     kwargs = dict(
@@ -48,6 +65,22 @@ def main():
         resize_ratios=batch["resize_ratios"])
     variables = model.init({"params": jax.random.PRNGKey(0)},
                            batch["roi_img"], **kwargs, train=False)
+
+    ckpt = _flag_value("--ckpt")
+    if ckpt:
+        # bench + int8 calibration on REAL weights (orbax dir or converted
+        # reference .pth) instead of random init; falls back loudly
+        if ckpt.endswith((".pth", ".pt")):
+            from gdrnet_tpu.utils.torch_convert import load_torch_checkpoint
+
+            params, stats = load_torch_checkpoint(ckpt)
+            variables = {"params": params, "batch_stats": stats}
+        else:
+            from gdrnet_tpu.engine.checkpoint import load_variables_for_inference
+
+            variables = load_variables_for_inference(ckpt)
+        variables = jax.device_put(variables)
+        print(f"benching weights from {ckpt}", file=sys.stderr)
 
     if "--fold-bn" in sys.argv:
         from gdrnet_tpu.utils.fold_bn import fold_variables
@@ -81,7 +114,7 @@ def main():
                 resize_ratios=batch["resize_ratios"], train=False)
         return out["rot"], out["trans"]
 
-    iters = 10
+    iters = int(_flag_value("--iters") or 10)
 
     # Chain iterations on-device via lax.scan (each iteration's input depends
     # on the previous output) and fetch the carry to the host: the tunnel's

@@ -50,6 +50,21 @@ class CheckpointManager:
         return restored, int(step)
 
 
+def load_variables_for_inference(ckpt_dir: str) -> dict:
+    """{"params", "batch_stats"} from the newest checkpoint WITHOUT an
+    optimizer-state template (inference/serving callers like `bench.py
+    --ckpt` have no reason to rebuild the training optimizer)."""
+    mgr = ocp.CheckpointManager(osp.abspath(ckpt_dir))
+    step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+    tree = mgr.restore(step)
+    out = {"params": tree["params"]}
+    if tree.get("batch_stats"):
+        out["batch_stats"] = tree["batch_stats"]
+    return out
+
+
 def load_params_for_eval(ckpt_dir: str, state: GDRNTrainState) -> GDRNTrainState:
     """Load the newest checkpoint for eval-only runs (reference
     main_gdrn.py:120-122)."""

@@ -223,3 +223,72 @@ def test_predict_cli(tmp_path):
             jnp.asarray(r8["R"], jnp.float32)[None]))[0])
         assert ang < 2.0, ang
         assert np.linalg.norm(r8["t"] - r["t"]) < 0.05 * np.linalg.norm(r["t"])
+
+
+def test_bench_ckpt_loading(tmp_path, capsys, monkeypatch):
+    """bench.py --ckpt: benches (and int8-calibrates) real weights from an
+    orbax checkpoint, with --config supplying non-flagship model dims
+    (surrogate for the converted-reference-checkpoint bench)."""
+    import json
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from gdrnet_tpu.config import base_config
+    from gdrnet_tpu.data import synthetic_roi_batch
+    from gdrnet_tpu.engine import create_train_state
+    from gdrnet_tpu.engine.checkpoint import CheckpointManager
+    from gdrnet_tpu.models import build_model
+    from gdrnet_tpu.solver import build_optimizer
+
+    cfg = base_config()
+    cfg.MODEL.CDPN.BACKBONE.NUM_LAYERS = 18
+    cfg.MODEL.CDPN.BACKBONE.INPUT_RES = 32
+    cfg.MODEL.CDPN.BACKBONE.OUTPUT_RES = 8
+    cfg.MODEL.CDPN.ROT_HEAD.NUM_REGIONS = 4
+    # bench's flagship input assembly (2D coords + region attention)
+    cfg.MODEL.CDPN.PNP_NET.WITH_2D_COORD = True
+    cfg.MODEL.CDPN.PNP_NET.REGION_ATTENTION = True
+    cfg.SOLVER.OPTIMIZER_CFG = {"type": "Adam", "lr": 1e-3}
+    model = build_model(cfg)
+    sample = {k: jnp.asarray(v) for k, v in synthetic_roi_batch(
+        batch_size=2, input_res=32, out_res=8).items()}
+    state = create_train_state(model, build_optimizer(cfg), sample,
+                               jax.random.PRNGKey(7))
+    ckpt_dir = str(tmp_path / "ckpt")
+    mgr = CheckpointManager(ckpt_dir)
+    mgr.save(state, step=5)
+    mgr.wait()
+
+    # params-only restore (no optimizer template)
+    from gdrnet_tpu.engine.checkpoint import load_variables_for_inference
+    loaded = load_variables_for_inference(ckpt_dir)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["params"]["pnp_net"]["fc_r"]["kernel"]),
+        np.asarray(state.params["pnp_net"]["fc_r"]["kernel"]))
+
+    cfg_path = str(tmp_path / "bench_cfg.py")
+    with open(cfg_path, "w") as f:
+        f.write("MODEL = dict(CDPN=dict(BACKBONE=dict("
+                "NUM_LAYERS=18, INPUT_RES=32, OUTPUT_RES=8), "
+                "ROT_HEAD=dict(NUM_REGIONS=4)))\n")
+
+    import bench
+    monkeypatch.setattr(sys, "argv", [
+        "bench.py", "--ckpt", ckpt_dir, "--config", cfg_path,
+        "--batch", "8", "--iters", "2", "--bf16"])
+    bench.main()
+    cap = capsys.readouterr()
+    row = json.loads(cap.out.strip().splitlines()[-1])
+    assert row["metric"] == "roi_pose_crops_per_sec_per_chip"
+    assert row["value"] > 0 and np.isfinite(row["value"])
+    assert "benching weights from" in cap.err
+
+    # int8 path calibrates on the loaded weights too
+    monkeypatch.setattr(sys, "argv", [
+        "bench.py", "--ckpt", ckpt_dir, "--config", cfg_path,
+        "--batch", "8", "--iters", "2"])
+    bench.main()
+    row8 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row8["value"] > 0

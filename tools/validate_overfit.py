@@ -5,7 +5,8 @@ mean_te ~1 cm, ad_10 >= 0.5 and climbing; the brick converges to either of
 its declared z-180 symmetry branches — the symmetric PM loss permits both and
 the sym-aware evaluator resolves them).
 
-Usage: python tools/validate_overfit.py
+Usage: python tools/validate_overfit.py [--device-preprocess] [--int8]
+       [--seed N]   (N varies model init + train-step RNG; data fixed)
 """
 import os.path as osp
 import sys as _sys
@@ -71,12 +72,13 @@ else:
     samples = [mapper(rec, np.random.RandomState(i))
                for i, rec in enumerate(records)]
     batch = {k: jnp.asarray(v) for k, v in collate(samples).items()}
+SEED = int(sys.argv[sys.argv.index("--seed") + 1]) if "--seed" in sys.argv else 0
 model = build_model(cfg)
 sched = build_lr_schedule(cfg, 1e-3, TOTAL)
 opt = build_optimizer(cfg, lr_schedule=sched)
-state = create_train_state(model, opt, batch, jax.random.PRNGKey(0))
+state = create_train_state(model, opt, batch, jax.random.PRNGKey(SEED))
 step = make_train_step(cfg, model, opt)
-rng = jax.random.PRNGKey(1)
+rng = jax.random.PRNGKey(SEED + 1)
 t0 = time.time()
 for it in range(TOTAL):
     state, m = step(state, batch, jax.random.fold_in(rng, it))
@@ -87,9 +89,21 @@ for it in range(TOTAL):
               f"errR={float(m['vis/error_R']):.1f}deg errT={float(m['vis/error_t']):.2f}cm | {parts}", flush=True)
 print(f"train time: {time.time()-t0:.0f}s", flush=True)
 
+if "--save-ckpt" in sys.argv:  # feed `bench.py --ckpt` real trained weights
+    from gdrnet_tpu.engine.checkpoint import CheckpointManager
+    ckpt_dir = sys.argv[sys.argv.index("--save-ckpt") + 1]
+    mgr = CheckpointManager(ckpt_dir); mgr.save(state); mgr.wait()
+    print("saved checkpoint to", ckpt_dir, flush=True)
+
 results = do_test(cfg, model, state.variables(), models, records, output_dir="/tmp/fixture_overfit_out")
 print(results["_summary"], flush=True)
 print("ad_10 avg:", results["Avg"]["ad_10"], " re mean:", results["Avg"]["mean_re"], flush=True)
+import json as _json
+print("SWEEP " + _json.dumps({
+    "seed": SEED, "device_preprocess": "--device-preprocess" in sys.argv,
+    "ad_10": float(results["Avg"]["ad_10"]),
+    "mean_re": float(results["Avg"]["mean_re"]),
+    "mean_te": float(results["Avg"]["mean_te"])}), flush=True)
 
 if "--int8" in sys.argv:  # quantized-serving quality gate (TEST.INT8)
     cfg.TEST.INT8 = True
