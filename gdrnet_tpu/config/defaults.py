@@ -47,6 +47,9 @@ _DEFAULTS = dict(
         # target tensor are computed on device as one XLA program
         # (data/device_pipeline.device_train_batch)
         DEVICE_PREPROCESS=False,
+        # move COLOR_AUG into that XLA program too (aae/code/roi10d types;
+        # data/device_augment.py) — host then stops after decode + bg
+        DEVICE_COLOR_AUG=False,
     ),
     DATASETS=dict(
         TRAIN=(),

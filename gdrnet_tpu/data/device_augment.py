@@ -1,0 +1,184 @@
+"""Batched color augmentation on device (jax.random), completing the
+INPUT.DEVICE_PREPROCESS split: with INPUT.DEVICE_COLOR_AUG the host stops
+after decode + background replacement and the color jitter runs inside the
+same XLA program as the crops/targets (data/device_pipeline.py).
+
+Twins of the host augmentors (data/augment.py, themselves transcriptions of
+the reference pipelines — AAE imgaug code base_data_loader.py:168-186,
+ROI10D AugmentRGB core/utils/augment.py:7-60), with two deliberate
+distribution upgrades over the host evaluation of the imgaug DSL:
+
+* GaussianBlur sigma is drawn PER IMAGE in [0, 1.2) — the host pipeline
+  fixes `1.2*np.random.rand()` once per run (parse_aug_code docstring).
+* Saturation scales chroma in closed form (x' = max - f*(max - x), exactly
+  HSV S*=f at fixed V for f<=1) instead of uint8 HSV round-trips.
+
+All ops take [B, H, W, 3] float32 images in 0..255 (BGR or RGB — every op
+is channel-order agnostic) and per-image parameters; "Sometimes(p, op)"
+composes branchlessly with a per-image bernoulli select.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _clip(x):
+    return jnp.clip(x, 0.0, 255.0)
+
+
+def _sometimes(key, p: float, imgs, fn):
+    """imgaug Sometimes: apply fn to each image independently w.p. p."""
+    k_apply, k_op = jax.random.split(key)
+    apply = jax.random.bernoulli(k_apply, p, (imgs.shape[0],))
+    return jnp.where(apply[:, None, None, None], fn(k_op, imgs), imgs)
+
+
+def _per_channel_value(key, lo, hi, b, per_channel_p: float):
+    """imgaug per_channel semantics: w.p. per_channel_p draw one value per
+    channel, else one shared value per image."""
+    k_pc, k_ch, k_sh = jax.random.split(key, 3)
+    pc = jax.random.bernoulli(k_pc, per_channel_p, (b, 1))
+    v_ch = jax.random.uniform(k_ch, (b, 3), minval=lo, maxval=hi)
+    v_sh = jax.random.uniform(k_sh, (b, 1), minval=lo, maxval=hi)
+    return jnp.where(pc, v_ch, jnp.broadcast_to(v_sh, (b, 3)))
+
+
+def add_batch(key, imgs, lo=-25.0, hi=25.0, per_channel=0.3):
+    v = _per_channel_value(key, lo, hi, imgs.shape[0], per_channel)
+    return _clip(imgs + v[:, None, None, :])
+
+
+def multiply_batch(key, imgs, lo=0.8, hi=1.2, per_channel=0.5):
+    v = _per_channel_value(key, lo, hi, imgs.shape[0], per_channel)
+    return _clip(imgs * v[:, None, None, :])
+
+
+def linear_contrast_batch(key, imgs, lo=0.5, hi=2.2, per_channel=0.3):
+    """(x - 127) * alpha + 127 (augment.aug_contrast / _iaa_linear_contrast)."""
+    a = _per_channel_value(key, lo, hi, imgs.shape[0], per_channel)
+    return _clip((imgs - 127.0) * a[:, None, None, :] + 127.0)
+
+
+def invert_batch(key, imgs, p=0.2, per_channel=True):
+    """imgaug Invert: each image selected w.p. handled by the caller's
+    Sometimes; here each channel (or whole image) flips w.p. p
+    (augment.aug_invert_channel / _iaa_invert)."""
+    b = imgs.shape[0]
+    shape = (b, 3) if per_channel else (b, 1)
+    flip = jax.random.bernoulli(key, p, shape)
+    flip = jnp.broadcast_to(flip, (b, 3))[:, None, None, :]
+    return jnp.where(flip, 255.0 - imgs, imgs)
+
+
+def coarse_dropout_batch(key, imgs, p=0.2, size_percent=0.05, fill=0.0):
+    """Drop coarse blocks: bernoulli grid at size_percent resolution,
+    nearest-upsampled (augment.aug_coarse_dropout)."""
+    b, h, w, _ = imgs.shape
+    gh = max(2, int(h * size_percent))
+    gw = max(2, int(w * size_percent))
+    grid = jax.random.bernoulli(key, p, (b, gh, gw))
+    mask = jax.image.resize(grid.astype(jnp.float32), (b, h, w), "nearest")
+    return jnp.where(mask[..., None] > 0, fill, imgs)
+
+
+def saturation_batch(key, imgs, lo=0.6, hi=1.4):
+    """HSV S *= f at fixed V, closed form: x' = max - f*(max - x)
+    (augment.aug_saturation without the uint8 HSV round-trip)."""
+    f = jax.random.uniform(key, (imgs.shape[0], 1, 1, 1), minval=lo, maxval=hi)
+    mx = imgs.max(axis=-1, keepdims=True)
+    return _clip(mx - f * (mx - imgs))
+
+
+def gaussian_blur_batch(key, imgs, sigma_hi=1.2, radius: int = 4):
+    """Separable Gaussian blur with PER-IMAGE sigma in [0, sigma_hi).
+    sigma < ~0.35 rounds to identity via the normalized kernel itself
+    (center tap -> 1). Depthwise convs, vmapped for per-image kernels."""
+    b = imgs.shape[0]
+    sigma = jax.random.uniform(key, (b,), minval=0.0, maxval=sigma_hi)
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    # guard sigma ~ 0: kernel collapses to the center tap
+    s = jnp.maximum(sigma, 1e-3)[:, None]
+    k = jnp.exp(-0.5 * (x[None, :] / s) ** 2)
+    k = k / k.sum(axis=1, keepdims=True)  # [B, K]
+
+    def blur_one(im, k1d):  # im [H, W, 3]
+        # reflect-pad first (cv2 BORDER_DEFAULT semantics) — zero padding
+        # would darken borders
+        im = jnp.pad(im[None], ((0, 0), (radius, radius), (radius, radius),
+                                (0, 0)), mode="reflect")
+        kw = k1d.reshape(-1, 1, 1, 1) * jnp.ones((1, 1, 1, 3))  # HWIO dw
+        y = jax.lax.conv_general_dilated(
+            im, kw, (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=3)
+        kh = k1d.reshape(1, -1, 1, 1) * jnp.ones((1, 1, 1, 3))
+        y = jax.lax.conv_general_dilated(
+            y, kh, (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=3)
+        return y[0]
+
+    return jax.vmap(blur_one)(imgs, k)
+
+
+def aae_aug_batch(key, imgs):
+    """The AAE pipeline (augment.AAE_AUG_CODE / base_data_loader.py:168-186):
+    Sometimes(0.5 CoarseDropout(0.2, 5%)), Sometimes(0.5 GaussianBlur),
+    Sometimes(0.5 Add(+-25, pc 0.3)), Sometimes(0.3 Invert(0.2, pc)),
+    Sometimes(0.5 Multiply(0.6-1.4, pc 0.5)), Sometimes(0.5 Multiply),
+    Sometimes(0.5 LinearContrast(0.5-2.2, pc 0.3)); fixed order."""
+    ks = jax.random.split(key, 7)
+    imgs = _sometimes(ks[0], 0.5, imgs, partial(coarse_dropout_batch,
+                                                p=0.2, size_percent=0.05))
+    imgs = _sometimes(ks[1], 0.5, imgs, gaussian_blur_batch)
+    imgs = _sometimes(ks[2], 0.5, imgs, partial(add_batch, lo=-25.0, hi=25.0,
+                                                per_channel=0.3))
+    imgs = _sometimes(ks[3], 0.3, imgs, partial(invert_batch, p=0.2,
+                                                per_channel=True))
+    imgs = _sometimes(ks[4], 0.5, imgs, partial(multiply_batch, lo=0.6,
+                                                hi=1.4, per_channel=0.5))
+    imgs = _sometimes(ks[5], 0.5, imgs, partial(multiply_batch, lo=0.6,
+                                                hi=1.4, per_channel=0.0))
+    imgs = _sometimes(ks[6], 0.5, imgs, partial(linear_contrast_batch,
+                                                lo=0.5, hi=2.2,
+                                                per_channel=0.3))
+    return imgs
+
+
+def roi10d_aug_batch(key, imgs, brightness=18.0, contrast=0.4,
+                     saturation=0.4):
+    """AugmentRGB jitter (augment.aug_roi10d, core/utils/augment.py:7-60):
+    brightness add, linear contrast, saturation — all per image."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    v = jax.random.uniform(k1, (imgs.shape[0], 1, 1, 1),
+                           minval=-brightness, maxval=brightness)
+    imgs = _clip(imgs + v)
+    a = jax.random.uniform(k2, (imgs.shape[0], 1, 1, 1),
+                           minval=1 - contrast, maxval=1 + contrast)
+    imgs = _clip((imgs - 127.0) * a + 127.0)
+    return saturation_batch(k3, imgs, lo=1 - saturation, hi=1 + saturation)
+
+
+@partial(jax.jit, static_argnames=("aug_type", "prob"))
+def apply_color_aug_batch(key, imgs, aug_ok, aug_type: str = "aae",
+                          prob: float = 0.0):
+    """Top-level gate: each image augments w.p. `prob` AND when its
+    `aug_ok` flag is set (host-computed COLOR_AUG_SYN_ONLY rule —
+    mapper.py:210-216). imgs [B,H,W,3] f32 0..255."""
+    if prob <= 0.0:
+        return imgs
+    if aug_type.lower() in ("aae", "code"):
+        fn = aae_aug_batch
+    elif aug_type.lower() == "roi10d":
+        fn = roi10d_aug_batch
+    else:
+        raise ValueError(
+            f"device color aug supports aae/code/roi10d, got {aug_type!r} "
+            "(keep INPUT.DEVICE_COLOR_AUG=False for ssd/albu)")
+    k_p, k_op = jax.random.split(key)
+    do = jax.random.bernoulli(k_p, prob, (imgs.shape[0],))
+    do = do & (aug_ok.astype(bool))
+    out = fn(k_op, imgs)
+    return jnp.where(do[:, None, None, None], out, imgs)

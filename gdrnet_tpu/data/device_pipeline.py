@@ -186,6 +186,8 @@ def device_train_batch(
     sym_mask_stack: jnp.ndarray,  # [C, K]
     pixel_mean: jnp.ndarray,
     pixel_std: jnp.ndarray,
+    color_aug_type: str | None = None,
+    color_aug_prob: float = 0.0,
     **pipeline_kwargs,
 ) -> dict:
     """Raw mapper batch -> full GDRN train batch, entirely on device.
@@ -199,9 +201,22 @@ def device_train_batch(
     let the trainer fuse it ahead of the train step)."""
     cls = raw["roi_classes"].astype(jnp.int32)
     extents = extents_stack[cls]
+    images = raw["image"].astype(jnp.float32)
+    if color_aug_type and color_aug_prob > 0.0:
+        # on-device color jitter (INPUT.DEVICE_COLOR_AUG; the host computed
+        # each frame's eligibility flag) — see data/device_augment.py
+        from gdrnet_tpu.data.device_augment import apply_color_aug_batch
+
+        key, k_aug = jax.random.split(key)
+        aug_ok = raw.get("aug_ok")
+        if aug_ok is None:
+            aug_ok = jnp.ones((images.shape[0],), jnp.uint8)
+        images = apply_color_aug_batch(k_aug, images, aug_ok,
+                                       aug_type=color_aug_type,
+                                       prob=float(color_aug_prob))
     batch = device_roi_pipeline(
         key,
-        raw["image"].astype(jnp.float32),
+        images,
         raw["xyz"].astype(jnp.float32),
         raw["mask_visib"],
         raw["bbox"].astype(jnp.float32),

@@ -321,12 +321,18 @@ class GDRNRawTrainMapper(GDRNTrainMapper):
             img, mask_trunc_new = self.bg.replace(
                 img, mask_trunc, rng, truncate_fg=self.truncate_fg)
             mask_trunc = mask_trunc * mask_trunc_new
-        if self.color_aug is not None and rng.rand() < self.color_aug_prob:
+        # with INPUT.DEVICE_COLOR_AUG the jitter moves into the XLA pipeline
+        # (data/device_augment.py); the host only computes the eligibility
+        # flag (COLOR_AUG_SYN_ONLY rule) and ships it with the raw frame
+        device_color_aug = bool(self.cfg.INPUT.get("DEVICE_COLOR_AUG"))
+        aug_ok = not (self.color_aug_syn_only
+                      and rec.get("img_type", "real") == "real")
+        if (not device_color_aug and self.color_aug is not None
+                and rng.rand() < self.color_aug_prob):
             # COLOR_AUG_SYN_ONLY means any synthetic img_type, not just the
             # bg-less "syn" (the reference's branch at data_loader.py:340-343
             # is actually a no-op — both arms aug; we honor the intent)
-            if not (self.color_aug_syn_only
-                    and rec.get("img_type", "real") == "real"):
+            if aug_ok:
                 img = self.color_aug(img, rng)
         # convert AFTER bg/color aug — those ops are BGR-defined; flipping at
         # read would composite channel-swapped backgrounds (INPUT.FORMAT)
@@ -341,6 +347,7 @@ class GDRNRawTrainMapper(GDRNTrainMapper):
         # compact dtypes: the xyz GT artifact is f16 already
         # (lm_pbr_1_gen_xyz_crop.py:186-207); masks fit in uint8
         return {
+            "aug_ok": np.uint8(aug_ok),
             "image": np.ascontiguousarray(img, dtype=np.uint8),
             "xyz": xyz.astype(np.float16),
             "mask_visib": mask_visib.astype(np.uint8),

@@ -173,6 +173,9 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
             scale_ratio=cfg.INPUT.DZI_SCALE_RATIO,
             shift_ratio=cfg.INPUT.DZI_SHIFT_RATIO,
             xyz_mask_gt=rh.XYZ_LOSS_MASK_GT)
+        if cfg.INPUT.get("DEVICE_COLOR_AUG"):
+            prep_static.update(color_aug_type=cfg.INPUT.COLOR_AUG_TYPE,
+                               color_aug_prob=cfg.INPUT.COLOR_AUG_PROB)
         prep_rng = jax.random.PRNGKey(seed + 101)
 
         def device_prep(it_, raw):
