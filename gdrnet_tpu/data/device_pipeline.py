@@ -188,6 +188,8 @@ def device_train_batch(
     pixel_std: jnp.ndarray,
     color_aug_type: str | None = None,
     color_aug_prob: float = 0.0,
+    color_aug_code: str | None = None,
+    color_aug_channel_order: str = "bgr",
     **pipeline_kwargs,
 ) -> dict:
     """Raw mapper batch -> full GDRN train batch, entirely on device.
@@ -213,7 +215,9 @@ def device_train_batch(
             aug_ok = jnp.ones((images.shape[0],), jnp.uint8)
         images = apply_color_aug_batch(k_aug, images, aug_ok,
                                        aug_type=color_aug_type,
-                                       prob=float(color_aug_prob))
+                                       prob=float(color_aug_prob),
+                                       aug_code=color_aug_code or None,
+                                       channel_order=color_aug_channel_order)
     batch = device_roi_pipeline(
         key,
         images,

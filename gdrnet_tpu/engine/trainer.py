@@ -174,8 +174,13 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
             shift_ratio=cfg.INPUT.DZI_SHIFT_RATIO,
             xyz_mask_gt=rh.XYZ_LOSS_MASK_GT)
         if cfg.INPUT.get("DEVICE_COLOR_AUG"):
-            prep_static.update(color_aug_type=cfg.INPUT.COLOR_AUG_TYPE,
-                               color_aug_prob=cfg.INPUT.COLOR_AUG_PROB)
+            prep_static.update(
+                color_aug_type=cfg.INPUT.COLOR_AUG_TYPE,
+                color_aug_prob=cfg.INPUT.COLOR_AUG_PROB,
+                color_aug_code=cfg.INPUT.get("COLOR_AUG_CODE") or None,
+                color_aug_channel_order=(
+                    "rgb" if cfg.INPUT.get("FORMAT", "BGR").upper() == "RGB"
+                    else "bgr"))
         prep_rng = jax.random.PRNGKey(seed + 101)
 
         def device_prep(it_, raw):

@@ -42,11 +42,12 @@ def test_op_semantics(rng):
     # x' = mx - 0.5*(mx - x): chroma (mx-mn) halves, V fixed
     np.testing.assert_allclose(out, [120.0, 150.0, 200.0])
 
-    # coarse dropout: zero fraction ~ p (blocks are bernoulli at grid res)
-    big = jnp.full((16, 40, 40, 3), 200.0)
-    out = np.asarray(coarse_dropout_batch(key, big, p=0.2, size_percent=0.05))
+    # coarse dropout: zero fraction ~ p (blocks are bernoulli at grid res;
+    # 16 imgs x 10x10 grid -> 1600 draws, sd ~ 1%)
+    big = jnp.full((16, 100, 100, 3), 200.0)
+    out = np.asarray(coarse_dropout_batch(key, big, p=0.2, size_percent=0.1))
     frac = (out == 0).mean()
-    assert 0.1 < frac < 0.3, frac
+    assert 0.15 < frac < 0.25, frac
 
     # blur: constant image unchanged; noise variance shrinks, mean kept
     const = jnp.full((4, 16, 16, 3), 77.0)
@@ -118,6 +119,58 @@ def test_distribution_matches_host(rng, aug_type):
         hz = (host == 0).any(axis=-1).mean()
         dz = (dev == 0).any(axis=-1).mean()
         assert abs(hz - dz) < 0.07, (hz, dz)
+
+
+def test_dsl_parser(rng):
+    """parse_device_aug_code: the COLOR_AUG_CODE DSL builds batched device
+    pipelines (same restricted namespace as the host parser)."""
+    from gdrnet_tpu.data.augment import AAE_AUG_CODE
+    from gdrnet_tpu.data.device_augment import parse_device_aug_code
+
+    imgs = _imgs(rng, b=6)
+    key = jax.random.PRNGKey(4)
+
+    # the built-in AAE code string parses and perturbs images in range
+    fn = parse_device_aug_code(AAE_AUG_CODE)
+    out = np.asarray(fn(key, imgs))
+    assert out.shape == imgs.shape and np.isfinite(out).all()
+    assert 0.0 <= out.min() and out.max() <= 255.0
+    assert np.abs(out - np.asarray(imgs)).max() > 0
+
+    # custom code with OneOf / Dropout / Grayscale / noise / parse-time np
+    code = ("Sequential(["
+            "OneOf([Grayscale(alpha=1.0), Invert(1.0)]),"
+            "Dropout(0.5),"
+            "AdditiveGaussianNoise(scale=(0, 5.0)),"
+            "GaussianBlur(1.2*np.random.rand())"
+            "], random_order=False)")
+    out2 = np.asarray(parse_device_aug_code(code)(key, imgs))
+    assert np.isfinite(out2).all() and out2.shape == imgs.shape
+    # Dropout(0.5) zeroes roughly half the pixels pre-noise/blur
+    assert np.abs(out2 - np.asarray(imgs)).mean() > 10.0
+
+    # grayscale channel-order: a pure-"red" pixel keeps cv2 BGR weights
+    red = jnp.zeros((1, 2, 2, 3)).at[..., 2].set(200.0)  # BGR: ch2 = R
+    g_bgr = np.asarray(parse_device_aug_code(
+        "Grayscale(alpha=1.0)", "bgr")(key, red))
+    g_rgb = np.asarray(parse_device_aug_code(
+        "Grayscale(alpha=1.0)", "rgb")(key, red))
+    np.testing.assert_allclose(g_bgr[0, 0, 0], 200 * 0.299, atol=1e-3)
+    np.testing.assert_allclose(g_rgb[0, 0, 0], 200 * 0.114, atol=1e-3)
+
+    # geometric ops and random_order fail loudly
+    with pytest.raises(NotImplementedError, match="desync"):
+        parse_device_aug_code("Sequential([Fliplr(0.5)])")(key, imgs)
+    with pytest.raises(NotImplementedError, match="random_order"):
+        parse_device_aug_code("Sequential([Noop()], random_order=True)")(
+            key, imgs)
+
+    # the "code" route through the public gate
+    from gdrnet_tpu.data.device_augment import apply_color_aug_batch
+    out3 = np.asarray(apply_color_aug_batch(
+        key, imgs, jnp.ones((6,), jnp.uint8), "code", 1.0,
+        aug_code="Sequential([Invert(1.0)])"))
+    np.testing.assert_allclose(out3, 255.0 - np.asarray(imgs))
 
 
 def test_device_train_batch_with_color_aug(rng):
