@@ -55,45 +55,68 @@ def validate_error_types(error_types: str) -> list:
     return types
 
 
-def _vsd_errors_by_obj(pairs, models, delta_mm: float, taus) -> dict:
+def _vsd_errors_by_obj(pairs, models, delta_mm: float, taus,
+                       batch: int = 64) -> dict:
     """Per-object lists of [T] vsd error arrays over the matched pairs
-    (missing estimates -> all-ones, i.e. fail every threshold). Renders
-    est/gt depth with the XLA rasterizer (eval/vsd.py) against the per-image
-    test depth (reference pose_error.vsd, lib/pysixd/pose_error.py:22-129)."""
+    (missing estimates -> all-ones, i.e. fail every threshold). Est + gt
+    depths render through the BATCHED windowed rasterizer ladder and the
+    error program runs vmapped (eval/vsd.vsd_pairs) — the reference computes
+    each pair sequentially through external C++/GL renderers
+    (lib/pysixd/pose_error.py:22-129, eval_calc_errors.py)."""
     from gdrnet_tpu.data.io import load_depth
-    from gdrnet_tpu.eval.vsd import vsd as vsd_fn
+    from gdrnet_tpu.eval.vsd import vsd_pairs
 
     id2obj = models.meta.id2obj
     taus = np.asarray(taus, np.float32)
-    depth_cache: dict = {}  # FIFO-capped: pairs of one image are adjacent
+    # group estimate-bearing pairs per object, keeping slot order
     out = defaultdict(list)
+    todo: dict = defaultdict(list)  # name -> [(slot, est, gt)]
     for est, gt in pairs:
         name = id2obj[gt["obj_id"]]
+        slot = len(out[name])
         if est is None:
             out[name].append(np.ones(len(taus), np.float32))
             continue
-        dp = gt.get("depth_path")
-        if dp is None:
+        if gt.get("depth_path") is None:
             raise ValueError(
-                "vsd requested but the GT record has no depth_path — the "
+                "vsd requested but the GT record has no depth_path -- the "
                 "test split has no depth/ images (vsd needs d_test)")
-        faces = models.faces.get(name)
-        if faces is None:
+        if models.faces.get(name) is None:
             raise ValueError(f"vsd needs mesh faces for {name!r}; the model "
                              "PLY is a point cloud")
+        out[name].append(None)
+        todo[name].append((slot, est, gt))
+
+    depth_cache: dict = {}  # FIFO-capped
+
+    def d_test_of(gt):
         key = (gt["scene_id"], gt["im_id"])
         if key not in depth_cache:
             if len(depth_cache) >= 16:
                 depth_cache.pop(next(iter(depth_cache)))
-            depth_cache[key] = load_depth(dp, gt.get("depth_scale", 1.0))
-        errs = vsd_fn(
-            np.asarray(est["R"], np.float32),
-            np.asarray(est["t"], np.float32) / 1000.0,
-            gt["R"], gt["t"], depth_cache[key], gt["K"],
-            models.full_points[name], faces,
-            delta=delta_mm / 1000.0, taus=taus,
-            diameter=models.diameters[name])
-        out[name].append(np.asarray(errs, np.float32))
+            depth_cache[key] = load_depth(gt["depth_path"],
+                                          gt.get("depth_scale", 1.0))
+        return depth_cache[key]
+
+    for name, items in todo.items():
+        verts = models.full_points[name]
+        faces = models.faces[name]
+        dia = models.diameters[name]
+        for s in range(0, len(items), batch):
+            chunk = items[s:s + batch]
+            errs = vsd_pairs(
+                np.stack([np.asarray(e["R"], np.float32)
+                          for _, e, _ in chunk]),
+                np.stack([np.asarray(e["t"], np.float32) / 1000.0
+                          for _, e, _ in chunk]),
+                np.stack([g["R"] for _, _, g in chunk]),
+                np.stack([g["t"] for _, _, g in chunk]),
+                np.stack([d_test_of(g) for _, _, g in chunk]),
+                np.stack([g["K"] for _, _, g in chunk]),
+                verts, faces, delta=delta_mm / 1000.0, taus=taus,
+                diameter=dia)
+            for (slot, _, _), e in zip(chunk, errs):
+                out[name][slot] = np.asarray(e, np.float32)
     return out
 
 

@@ -109,6 +109,88 @@ def vsd_from_depths(depth_est, depth_gt, depth_test, K, delta, taus,
     return jnp.where(union_count == 0, jnp.ones_like(errs), errs)
 
 
+def render_depths_many(verts, faces, Ks, Rs, ts, height: int, width: int
+                       ) -> np.ndarray:
+    """[N] full-frame depths via the tile-laddered BATCHED windowed renderer
+    (ops.rasterizer.render_xyz_roi_many — ~5x the sequential windowed path);
+    oversized projections fall back per pose to the full rasterization."""
+    from gdrnet_tpu.ops.rasterizer import render_xyz_roi_many
+
+    Ks = np.asarray(Ks, np.float32)
+    Rs = np.asarray(Rs, np.float32)
+    ts = np.asarray(ts, np.float32)
+    n = len(Rs)
+    depths: list = [None] * n
+    remaining = list(range(n))
+    for tile in (128, 256, 512):
+        if not remaining or tile > min(height, width):
+            break
+        idx = np.asarray(remaining)
+        outs, fitted = render_xyz_roi_many(
+            verts, faces, Ks[idx], Rs[idx], ts[idx], height, width,
+            tile=tile, on_misfit="skip")
+        for (d_win, _, org), k in zip(outs, fitted):
+            depths[idx[k]] = paste_window(
+                np.zeros((height, width), np.float32), np.asarray(d_win), org)
+        fitted_set = set(fitted)
+        remaining = [i for k, i in enumerate(remaining)
+                     if k not in fitted_set]
+    for i in remaining:
+        d, _ = render_xyz(verts, faces, Ks[i], Rs[i], ts[i],
+                          height=height, width=width)
+        depths[i] = np.asarray(d)
+    return np.stack(depths)
+
+
+_VSD_CHUNK = 8
+
+
+@partial(jax.jit, static_argnames=("cost_type", "visib_mode",
+                                   "normalized_by_diameter"))
+def _vsd_from_depths_vmapped(depth_est, depth_gt, depth_test, K, delta, taus,
+                             diameter, normalized_by_diameter=True,
+                             cost_type="step", visib_mode="bop19"):
+    return jax.vmap(
+        lambda de, dg, dt, k: vsd_from_depths(
+            de, dg, dt, k, delta, taus, diameter,
+            normalized_by_diameter, cost_type, visib_mode)
+    )(depth_est, depth_gt, depth_test, K)
+
+
+def vsd_pairs(R_est, t_est, R_gt, t_gt, depth_tests, Ks, verts, faces,
+              delta: float = 15.0 / 1000.0, taus=None, diameter: float = 0.1,
+              normalized_by_diameter: bool = True, cost_type: str = "step"
+              ) -> np.ndarray:
+    """Batched VSD for P same-object pairs -> [P, T] errors. Renders est+gt
+    depths together through the batched windowed ladder and evaluates the
+    error program in fixed-size vmapped chunks (one compile)."""
+    if taus is None:
+        taus = np.arange(0.05, 0.51, 0.05)
+    taus = np.asarray(taus, np.float32)
+    depth_tests = np.asarray(depth_tests, np.float32)
+    p, h, w = depth_tests.shape
+    Rall = np.concatenate([np.asarray(R_est, np.float32),
+                           np.asarray(R_gt, np.float32)])
+    tall = np.concatenate([np.asarray(t_est, np.float32),
+                           np.asarray(t_gt, np.float32)])
+    Kall = np.concatenate([np.asarray(Ks, np.float32)] * 2)
+    depths = render_depths_many(verts, faces, Kall, Rall, tall, h, w)
+    d_est, d_gt = depths[:p], depths[p:]
+
+    out = np.empty((p, len(taus)), np.float32)
+    for s in range(0, p, _VSD_CHUNK):
+        idx = np.arange(s, min(s + _VSD_CHUNK, p))
+        pad = _VSD_CHUNK - len(idx)
+        sel = np.concatenate([idx, np.repeat(idx[-1:], pad)])
+        errs = _vsd_from_depths_vmapped(
+            jnp.asarray(d_est[sel]), jnp.asarray(d_gt[sel]),
+            jnp.asarray(depth_tests[sel]), jnp.asarray(np.asarray(Ks)[sel]),
+            delta, jnp.asarray(taus), diameter,
+            normalized_by_diameter, cost_type)
+        out[idx] = np.asarray(errs)[:len(idx)]
+    return out
+
+
 def vsd(R_est, t_est, R_gt, t_gt, depth_test, K, verts, faces,
         delta: float = 15.0 / 1000.0, taus=None, diameter: float = 0.1,
         normalized_by_diameter: bool = True, cost_type: str = "step"):
