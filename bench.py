@@ -31,13 +31,22 @@ BASELINE_CROPS_PER_SEC = 5000.0
 
 
 def _flag_value(name: str) -> str | None:
-    return sys.argv[sys.argv.index(name) + 1] if name in sys.argv else None
+    if name not in sys.argv:
+        return None
+    i = sys.argv.index(name) + 1
+    if i >= len(sys.argv):
+        raise SystemExit(f"{name} requires a value")
+    return sys.argv[i]
 
 
 def main():
     from gdrnet_tpu.config import base_config
     from gdrnet_tpu.models import build_model
     from gdrnet_tpu.data import synthetic_roi_batch
+
+    # validate value-taking flags BEFORE any expensive init
+    for f in ("--ckpt", "--config", "--batch", "--iters"):
+        _flag_value(f)
 
     cfg = base_config()
     cfg.MODEL.CDPN.PNP_NET.WITH_2D_COORD = True
@@ -73,7 +82,12 @@ def main():
         if ckpt.endswith((".pth", ".pt")):
             from gdrnet_tpu.utils.torch_convert import load_torch_checkpoint
 
-            params, stats = load_torch_checkpoint(ckpt)
+            rh = cfg.MODEL.CDPN.ROT_HEAD
+            pnp_head_cfg = cfg.MODEL.CDPN.PNP_NET.get("PNP_HEAD_CFG", {})
+            params, stats = load_torch_checkpoint(
+                ckpt, head_num_layers=rh.NUM_LAYERS, head_norm=rh.NORM,
+                pnp_norm=pnp_head_cfg.get("norm", "GN"),
+                pnp_num_layers=pnp_head_cfg.get("num_layers", 3))
             variables = {"params": params, "batch_stats": stats}
         else:
             from gdrnet_tpu.engine.checkpoint import load_variables_for_inference

@@ -169,11 +169,13 @@ def gaussian_blur_batch(key, imgs, sigma_hi=1.2, sigma_lo=0.0,
         kw = k1d.reshape(-1, 1, 1, 1) * jnp.ones((1, 1, 1, 3))  # HWIO dw
         y = jax.lax.conv_general_dilated(
             im, kw, (1, 1), [(0, 0), (0, 0)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=3)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=3,
+            precision="highest")  # TPU convs default bf16 (CLAUDE.md)
         kh = k1d.reshape(1, -1, 1, 1) * jnp.ones((1, 1, 1, 3))
         y = jax.lax.conv_general_dilated(
             y, kh, (1, 1), [(0, 0), (0, 0)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=3)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=3,
+            precision="highest")
         return y[0]
 
     return jax.vmap(blur_one)(imgs, k)

@@ -83,7 +83,12 @@ def do_test(cfg, model, variables, models, records: list[dict],
         # fail fast on a bad VAL.ERROR_TYPES, not after full inference
         from gdrnet_tpu.eval.bop_score import validate_error_types
 
-        validate_error_types(cfg.VAL.ERROR_TYPES)
+        types = validate_error_types(cfg.VAL.ERROR_TYPES)
+        if "vsd" in types and not any("depth_path" in r for r in records):
+            raise ValueError(
+                "VAL.ERROR_TYPES includes vsd but no test record has a "
+                "depth_path — the split has no depth/ images (vsd needs "
+                "d_test); failing before inference")
 
     use_pnp = cfg.TEST.USE_PNP
     pnp_type = cfg.TEST.PNP_TYPE  # ransac_pnp | net_iter_pnp | net_ransac_pnp

@@ -342,6 +342,30 @@ def paste_window(full: np.ndarray, win: np.ndarray, origin) -> np.ndarray:
     return full
 
 
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=32)
+def _batched_window_render(tile: int, chunk: int, on_tpu: bool):
+    """jitted vmapped window render, cached per (tile, chunk, platform) so
+    repeated render_xyz_roi_many calls hit jax's compile cache (mesh arrays
+    are traced args; only new mesh SHAPES recompile)."""
+
+    def one(vj, faces_p, K, R, t, org):
+        if on_tpu:
+            from gdrnet_tpu.ops.pallas_kernels import rasterize_xyz_pallas
+
+            return rasterize_xyz_pallas(vj, faces_p, K, R, t, height=tile,
+                                        width=tile, origin=(org[0], org[1]))
+        return rasterize_attr(vj, vj, faces_p, K, R, t, height=tile,
+                              width=tile, chunk=chunk,
+                              origin=(org[0], org[1]))
+
+    return jax.jit(jax.vmap(one, in_axes=(None, None, 0, 0, 0, 0)))
+
+
 def render_xyz_roi_many(verts, faces, Ks, Rs, ts, height: int, width: int,
                         tile: int = 128, batch: int = 16, chunk: int = 1024,
                         on_misfit: str = "raise"):
@@ -381,25 +405,17 @@ def render_xyz_roi_many(verts, faces, Ks, Rs, ts, height: int, width: int,
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
     faces_p = jnp.asarray(_pad_faces(np.asarray(faces), 1024 if on_tpu else chunk))
     vj = jnp.asarray(verts32)
-
-    def one(K, R, t, org):
-        if on_tpu:
-            from gdrnet_tpu.ops.pallas_kernels import rasterize_xyz_pallas
-
-            return rasterize_xyz_pallas(vj, faces_p, K, R, t, height=tile,
-                                        width=tile, origin=(org[0], org[1]))
-        return rasterize_attr(vj, vj, faces_p, K, R, t, height=tile,
-                              width=tile, chunk=chunk,
-                              origin=(org[0], org[1]))
-
-    batched = jax.jit(jax.vmap(one))
+    # module-cached jitted program: repeated calls (e.g. vsd scoring in
+    # 64-pair chunks) reuse the compile for the same (tile, mesh shapes)
+    batched = _batched_window_render(tile, chunk, on_tpu)
     out = []
     for s in range(0, N, batch):
         idx = np.arange(s, min(s + batch, N))
         pad = batch - len(idx)
         sel = np.concatenate([idx, np.repeat(idx[-1:], pad)])
-        d, x = batched(jnp.asarray(Ks[sel]), jnp.asarray(Rs[sel]),
-                       jnp.asarray(ts[sel]), jnp.asarray(origins[sel]))
+        d, x = batched(vj, faces_p, jnp.asarray(Ks[sel]),
+                       jnp.asarray(Rs[sel]), jnp.asarray(ts[sel]),
+                       jnp.asarray(origins[sel]))
         d, x = np.asarray(d), np.asarray(x)
         for k, i in enumerate(idx):
             out.append((d[k], x[k], (int(origins[i][0]), int(origins[i][1]))))

@@ -62,6 +62,27 @@ def centralize_gradients(conv_only: bool = False) -> optax.GradientTransformatio
 # ---------------------------------------------------------------------------
 
 
+def _radam_step_scalars(count, b1: float, b2: float, sma_threshold: float):
+    """RAdam rectification scalars (rect, plain, use_rect) at step `count`.
+    1 - b^t via expm1: the naive form cancels catastrophically in f32 at
+    small t (~2e-5 relative at t=6 for b2=0.999) — the torch reference
+    computes these scalars in f64 python floats."""
+    import math as _math
+
+    t = count.astype(jnp.float32)
+    one_m_beta2_t = -jnp.expm1(t * _math.log(b2))
+    one_m_beta1_t = -jnp.expm1(t * _math.log(b1))
+    beta2_t = 1.0 - one_m_beta2_t
+    sma_max = 2.0 / (1 - b2) - 1.0
+    sma = sma_max - 2.0 * t * beta2_t / one_m_beta2_t
+    rect = jnp.sqrt(
+        jnp.maximum(one_m_beta2_t * (sma - 4) / (sma_max - 4) * (sma - 2)
+                    / jnp.maximum(sma, 1e-8) * sma_max / (sma_max - 2), 0.0)
+    ) / one_m_beta1_t
+    plain = 1.0 / one_m_beta1_t
+    return rect, plain, sma > sma_threshold
+
+
 class ScaleByRAdamState(NamedTuple):
     count: chex.Array
     mu: Any
@@ -86,23 +107,8 @@ def scale_by_radam(b1: float = 0.95, b2: float = 0.999, eps: float = 1e-5,
         mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
         nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, updates)
 
-        t = count.astype(jnp.float32)
-        # 1 - b^t via expm1: the naive form cancels catastrophically in f32
-        # at small t (~2e-5 relative at t=6 for b2=0.999) — the torch
-        # reference computes these scalars in f64 python floats
-        import math as _math
-
-        one_m_beta2_t = -jnp.expm1(t * _math.log(b2))
-        one_m_beta1_t = -jnp.expm1(t * _math.log(b1))
-        beta2_t = 1.0 - one_m_beta2_t
-        sma_max = 2.0 / (1 - b2) - 1.0
-        sma = sma_max - 2.0 * t * beta2_t / one_m_beta2_t
-        rect = jnp.sqrt(
-            jnp.maximum(one_m_beta2_t * (sma - 4) / (sma_max - 4) * (sma - 2)
-                        / jnp.maximum(sma, 1e-8) * sma_max / (sma_max - 2), 0.0)
-        ) / one_m_beta1_t
-        plain = 1.0 / one_m_beta1_t
-        use_rect = sma > sma_threshold
+        rect, plain, use_rect = _radam_step_scalars(
+            count, b1, b2, sma_threshold)
 
         def _upd(m, v):
             adaptive = rect * m / (jnp.sqrt(v) + eps)
@@ -233,23 +239,8 @@ def scale_by_radam2020(b1: float = 0.95, b2: float = 0.999, eps: float = 1e-5,
         mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
         nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, updates)
 
-        t = count.astype(jnp.float32)
-        # 1 - b^t via expm1: the naive form cancels catastrophically in f32
-        # at small t (~2e-5 relative at t=6 for b2=0.999) — the torch
-        # reference computes these scalars in f64 python floats
-        import math as _math
-
-        one_m_beta2_t = -jnp.expm1(t * _math.log(b2))
-        one_m_beta1_t = -jnp.expm1(t * _math.log(b1))
-        beta2_t = 1.0 - one_m_beta2_t
-        sma_max = 2.0 / (1 - b2) - 1.0
-        sma = sma_max - 2.0 * t * beta2_t / one_m_beta2_t
-        rect = jnp.sqrt(
-            jnp.maximum(one_m_beta2_t * (sma - 4) / (sma_max - 4) * (sma - 2)
-                        / jnp.maximum(sma, 1e-8) * sma_max / (sma_max - 2), 0.0)
-        ) / one_m_beta1_t
-        plain = 1.0 / one_m_beta1_t
-        use_rect = sma > sma_threshold
+        rect, plain, use_rect = _radam_step_scalars(
+            count, b1, b2, sma_threshold)
         step_size = jnp.where(use_rect, rect, plain)
 
         g_tree = jax.tree.map(

@@ -144,6 +144,19 @@ def test_do_test_duplicate_object_instances(tmp_path):
     assert len(rows) == 3 * n_images
 
 
+def test_do_test_vsd_fails_fast_without_depth(env):
+    """VAL.ERROR_TYPES with vsd on a split without depth/ must raise BEFORE
+    inference, not after a full pass (tester.py pre-flight)."""
+    meta, records, models = env
+    stripped = [{k: v for k, v in r.items()
+                 if k not in ("depth_path", "depth_scale")} for r in records]
+    cfg = base_config()
+    cfg.VAL.USE_BOP = True
+    cfg.VAL.ERROR_TYPES = "vsd,mssd,mspd"
+    with pytest.raises(ValueError, match="before inference"):
+        do_test(cfg, None, None, models, stripped)
+
+
 def test_decode_semantics():
     """get_out_coor: bin-center decode with bg-argmax pixels zeroed
     (engine_utils.py:92-105); get_out_mask L1: per-image min-max
