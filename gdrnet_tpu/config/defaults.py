@@ -240,6 +240,10 @@ _DEFAULTS = dict(
     PARALLEL=dict(
         MESH_SHAPE=(-1,),  # 1-D data mesh over all devices
         AXIS_NAMES=("data",),
+        # tensor-shard large kernels' output dim over a second mesh axis
+        # (parallel/mesh.py param_partition_spec; DP stays on axis 0).
+        # 1 = pure DP like the reference; >1 needs device count divisible
+        MODEL_PARALLEL=1,
         DTYPE="bfloat16",  # compute dtype inside the model (params stay f32)
         REMAT=False,  # rematerialize backbone blocks (bigger batches, +FLOPs)
     ),

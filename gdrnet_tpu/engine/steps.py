@@ -83,8 +83,26 @@ def make_train_step(cfg, model, optimizer: optax.GradientTransformation,
     if mesh is None:
         return jax.jit(train_step, donate_argnums=0)
 
-    repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(mesh.axis_names[0]))
+    if "model" in mesh.shape:
+        # 2-D (data, model) mesh: batch sharded on data, large kernels
+        # constrained onto the model axis — GSPMD propagates through grads
+        # and optimizer state (parallel/mesh.py). No explicit in/out
+        # shardings: the second call (sharded state in) re-specializes.
+        from gdrnet_tpu.parallel.mesh import constrain_params
+
+        def train_step_mp(state, batch, rng):
+            batch = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, data), batch)
+            state = state.replace(
+                params=constrain_params(state.params, mesh))
+            new_state, metrics = train_step(state, batch, rng)
+            return new_state.replace(
+                params=constrain_params(new_state.params, mesh)), metrics
+
+        return jax.jit(train_step_mp, donate_argnums=0)
+
+    repl = NamedSharding(mesh, P())
     return jax.jit(
         train_step,
         in_shardings=(repl, data, repl),

@@ -132,7 +132,8 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
     mesh_shape = tuple(cfg.PARALLEL.get("MESH_SHAPE", (-1,)))
     if len(mesh_shape) != 1:
         raise ValueError(f"only 1-D data meshes are supported (DP, like the "
-                         f"reference): PARALLEL.MESH_SHAPE={mesh_shape}")
+                         f"reference; use PARALLEL.MODEL_PARALLEL for a "
+                         f"model axis): PARALLEL.MESH_SHAPE={mesh_shape}")
     if mesh_shape[0] not in (-1, n_dev):
         if mesh_shape[0] < 1:
             raise ValueError(f"PARALLEL.MESH_SHAPE={mesh_shape} must be (-1,) "
@@ -140,7 +141,17 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
         cap = min(n_dev, mesh_shape[0])
         # keep the batch-divisibility invariant established above
         n_dev = max(d for d in range(1, cap + 1) if ims_per_batch % d == 0)
-    mesh = make_mesh(n_dev, axis_name=axis)
+    mp = int(cfg.PARALLEL.get("MODEL_PARALLEL", 1) or 1)
+    if mp > 1:
+        # 2-D (data, model) mesh: data count must still divide the batch
+        dp_cap = len(jax.devices()) // mp
+        if dp_cap < 1:
+            raise ValueError(f"MODEL_PARALLEL={mp} exceeds "
+                             f"{len(jax.devices())} devices")
+        dp = max(d for d in range(1, dp_cap + 1) if ims_per_batch % d == 0)
+        mesh = make_mesh(dp * mp, axis_name=axis, model_parallel=mp)
+    else:
+        mesh = make_mesh(n_dev, axis_name=axis)
     model = build_model(cfg)
     base_lr = dict(cfg.SOLVER.OPTIMIZER_CFG).get("lr", 1e-4)
     # with gradient accumulation the inner optimizer (optax.MultiSteps)

@@ -3,6 +3,9 @@ from gdrnet_tpu.parallel.mesh import (
     replicated_sharding,
     batch_sharding,
     shard_batch,
+    param_partition_spec,
+    constrain_params,
 )
 
-__all__ = ["make_mesh", "replicated_sharding", "batch_sharding", "shard_batch"]
+__all__ = ["make_mesh", "replicated_sharding", "batch_sharding",
+           "shard_batch", "param_partition_spec", "constrain_params"]

@@ -7,6 +7,14 @@ slices — jax orders devices so a 1-D mesh rides ICI first). The train step is
 jit-compiled with the ROI batch sharded on `data` and params replicated;
 XLA/GSPMD inserts the gradient all-reduces that DDP did by hand. Loss scalars
 come out replicated — no explicit `reduce_dict` needed.
+
+Optionally a second `model` axis (PARALLEL.MODEL_PARALLEL > 1) tensor-shards
+the large kernels' output dim: `param_partition_spec` picks eligible leaves,
+the train step constrains them with `with_sharding_constraint`, and GSPMD
+propagates the sharding through grads and optimizer state (all-gathers for
+activations ride ICI). The reference has no model parallelism at all; for a
+CNN of this size DP alone is usually right — the axis exists for
+HBM-constrained configs (huge PNP FCs / many-class class-aware heads).
 """
 
 from __future__ import annotations
@@ -17,12 +25,48 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
-    """1-D data mesh over the first n (default: all) devices."""
+def make_mesh(n_devices: int | None = None, axis_name: str = "data",
+              model_parallel: int = 1, model_axis_name: str = "model") -> Mesh:
+    """1-D data mesh over the first n (default: all) devices; with
+    model_parallel > 1, a 2-D (data, model) mesh — the model axis is the
+    fastest-varying (innermost ICI neighbors)."""
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
+    if model_parallel > 1:
+        if len(devices) % model_parallel != 0:
+            raise ValueError(f"{len(devices)} devices not divisible by "
+                             f"model_parallel={model_parallel}")
+        arr = np.asarray(devices).reshape(-1, model_parallel)
+        return Mesh(arr, (axis_name, model_axis_name))
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def param_partition_spec(path_leaf, mesh: Mesh,
+                         model_axis_name: str = "model",
+                         min_size: int = 1 << 16) -> P:
+    """PartitionSpec for one param leaf: shard the LAST dim (flax kernels are
+    [..., in, out]) over the model axis when present, divisible and the leaf
+    is large enough; everything else replicates."""
+    if model_axis_name not in mesh.shape:
+        return P()
+    mp = mesh.shape[model_axis_name]
+    x = path_leaf
+    if (x.ndim >= 2 and x.size >= min_size and x.shape[-1] % mp == 0):
+        return P(*([None] * (x.ndim - 1) + [model_axis_name]))
+    return P()
+
+
+def constrain_params(params, mesh: Mesh, model_axis_name: str = "model"):
+    """with_sharding_constraint over eligible kernels (no-op on 1-D meshes).
+    Call inside jit; GSPMD propagates to grads/optimizer state."""
+    if model_axis_name not in mesh.shape:
+        return params
+    return jax.tree.map(
+        lambda x: jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, param_partition_spec(
+                x, mesh, model_axis_name))),
+        params)
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

@@ -1,0 +1,97 @@
+"""Optional model-parallel axis (PARALLEL.MODEL_PARALLEL): 2-D (data, model)
+mesh with large kernels tensor-sharded via GSPMD constraints. Numerics must
+match the pure-DP path; big params must actually land sharded."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gdrnet_tpu.config import base_config
+from gdrnet_tpu.data import synthetic_roi_batch
+from gdrnet_tpu.engine import create_train_state, make_train_step
+from gdrnet_tpu.models import build_model
+from gdrnet_tpu.parallel import (
+    constrain_params,
+    make_mesh,
+    param_partition_spec,
+    replicated_sharding,
+    shard_batch,
+)
+from gdrnet_tpu.solver import build_optimizer
+
+
+def test_mesh_and_partition_spec():
+    mesh = make_mesh(8, model_parallel=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+
+    big = np.zeros((128, 1024), np.float32)     # fc kernel: sharded
+    conv = np.zeros((3, 3, 256, 256), np.float32)  # conv kernel: sharded
+    small = np.zeros((64,), np.float32)         # bias: replicated
+    odd = np.zeros((512, 1023), np.float32)     # indivisible: replicated
+    assert tuple(param_partition_spec(big, mesh)) == (None, "model")
+    assert tuple(param_partition_spec(conv, mesh)) == (None, None, None, "model")
+    assert tuple(param_partition_spec(small, mesh)) == ()
+    assert tuple(param_partition_spec(odd, mesh)) == ()
+
+    mesh1d = make_mesh(8)
+    assert tuple(param_partition_spec(big, mesh1d)) == ()
+
+
+def _tiny_setup(mesh):
+    cfg = base_config()
+    bb = cfg.MODEL.CDPN.BACKBONE
+    bb.NUM_LAYERS = 18
+    bb.INPUT_RES = 64
+    bb.OUTPUT_RES = 16
+    cfg.MODEL.CDPN.ROT_HEAD.NUM_REGIONS = 4
+    cfg.MODEL.CDPN.PNP_NET.WITH_2D_COORD = True
+    cfg.MODEL.CDPN.PNP_NET.REGION_ATTENTION = True
+    cfg.SOLVER.OPTIMIZER_CFG = {"type": "Adam", "lr": 1e-3, "weight_decay": 0}
+    model = build_model(cfg)
+    optimizer = build_optimizer(cfg)
+    batch_np = synthetic_roi_batch(batch_size=8, input_res=64, out_res=16,
+                                   num_points=64)
+    batch = shard_batch({k: jnp.asarray(v) for k, v in batch_np.items()}, mesh)
+    state = create_train_state(model, optimizer, batch, jax.random.PRNGKey(0))
+    state = jax.device_put(state, replicated_sharding(mesh))
+    return cfg, model, optimizer, state, batch
+
+
+def test_model_parallel_matches_dp():
+    """3 train steps on the 2-D (4, 2) mesh produce the same losses as the
+    1-D 8-device DP mesh (GSPMD math is sharding-invariant), and the large
+    kernels come out genuinely sharded on the model axis."""
+    losses = {}
+    states = {}
+    for label, mesh in (("dp", make_mesh(8)),
+                        ("mp", make_mesh(8, model_parallel=2))):
+        cfg, model, optimizer, state, batch = _tiny_setup(mesh)
+        step = make_train_step(cfg, model, optimizer, mesh=mesh)
+        ms = []
+        for i in range(3):
+            state, m = step(state, batch, jax.random.PRNGKey(7))
+            ms.append(float(m["total_loss"]))
+        losses[label] = ms
+        states[label] = state
+    np.testing.assert_allclose(losses["mp"], losses["dp"], rtol=2e-4)
+
+    # fc1 kernel [128, 1024] is sharded over the model axis after a step
+    k = states["mp"].params["pnp_net"]["fc1"]["kernel"]
+    spec = k.sharding.spec
+    assert "model" in jax.tree.leaves(tuple(spec)), spec
+    # and the DP run keeps it replicated
+    k_dp = states["dp"].params["pnp_net"]["fc1"]["kernel"]
+    assert "model" not in jax.tree.leaves(tuple(k_dp.sharding.spec))
+    # gross-divergence guard only: Adam amplifies f32 reduction-order noise
+    # to ~lr per step where gradients are near zero (m/sqrt(v) flips sign),
+    # so exact param equality across shardings is not expected — the loss
+    # trajectory (rtol 2e-4 above) is the correctness signal
+    np.testing.assert_allclose(np.asarray(k), np.asarray(k_dp), atol=1e-2)
+
+
+def test_constrain_params_noop_on_1d_mesh():
+    mesh = make_mesh(8)
+    params = {"w": jnp.zeros((128, 1024))}
+    out = constrain_params(params, mesh)
+    assert out is params
