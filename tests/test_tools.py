@@ -292,3 +292,73 @@ def test_bench_ckpt_loading(tmp_path, capsys, monkeypatch):
     bench.main()
     row8 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert row8["value"] > 0
+
+
+def test_export_model_roundtrip(tmp_path):
+    """tools/export_model.py: the serving forward serializes to a portable
+    StableHLO artifact; deserializing WITHOUT the model code reproduces the
+    in-process forward bitwise."""
+    import json
+    import sys
+
+    import jax
+    from jax import export as jex
+    import jax.numpy as jnp
+
+    cfg_path = str(tmp_path / "exp_cfg.py")
+    with open(cfg_path, "w") as f:
+        f.write("MODEL = dict(CDPN=dict(BACKBONE=dict("
+                "NUM_LAYERS=18, INPUT_RES=32, OUTPUT_RES=8), "
+                "ROT_HEAD=dict(NUM_REGIONS=4)))\n")
+    out = str(tmp_path / "model.jaxexp")
+
+    from tools.export_model import main as export_main
+    export_main(["--out", out, "--config", cfg_path, "--batch", "4",
+                 "--platforms", "cpu"])
+    meta = json.load(open(out + ".json"))
+    assert meta["arg_names"][0] == "roi_img"
+    assert meta["shapes"]["roi_img"] == [4, 32, 32, 3]
+
+    # loader side: raw jax.export only
+    exp = jex.deserialize(open(out, "rb").read())
+    from gdrnet_tpu.data import synthetic_roi_batch
+    b = {k: jnp.asarray(v) for k, v in synthetic_roi_batch(
+        batch_size=4, input_res=32, out_res=8).items()}
+    args = [b[k] for k in meta["arg_names"]]
+    rot, trans = exp.call(*args)
+    assert rot.shape == (4, 3, 3) and trans.shape == (4, 3)
+    assert np.isfinite(np.asarray(rot)).all()
+
+    # matches the in-process forward (same random init seed 0)
+    from gdrnet_tpu.config import base_config, load_config
+    from gdrnet_tpu.config.config import Config, merge_dict
+    from gdrnet_tpu.models import build_model
+    cfg = base_config()
+    cfg.MODEL.CDPN.PNP_NET.WITH_2D_COORD = True
+    cfg.MODEL.CDPN.PNP_NET.REGION_ATTENTION = True
+    cfg = Config(merge_dict(cfg.to_dict(), load_config(cfg_path).to_dict()))
+    model = build_model(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, b["roi_img"],
+        roi_classes=b["roi_classes"], roi_coord_2d=b["roi_coord_2d"],
+        roi_cams=b["roi_cams"], roi_centers=b["roi_centers"],
+        roi_whs=b["roi_whs"], roi_extents=b["roi_extents"],
+        resize_ratios=b["resize_ratios"], train=False)
+    # jit the in-process forward too: the exported program is compiled, and
+    # eager-vs-compiled bf16 rounding differences amplify ~100x through the
+    # ortho6d normalize/cross on random weights
+    @jax.jit
+    def fwd(variables, b):
+        out = model.apply(
+            variables, b["roi_img"], roi_classes=b["roi_classes"],
+            roi_coord_2d=b["roi_coord_2d"], roi_cams=b["roi_cams"],
+            roi_centers=b["roi_centers"], roi_whs=b["roi_whs"],
+            roi_extents=b["roi_extents"], resize_ratios=b["resize_ratios"],
+            train=False)
+        return out["rot"], out["trans"]
+
+    want_rot, want_trans = fwd(variables, b)
+    np.testing.assert_allclose(np.asarray(rot), np.asarray(want_rot),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(trans), np.asarray(want_trans),
+                               atol=1e-6)
