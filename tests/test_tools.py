@@ -315,6 +315,10 @@ def test_export_model_roundtrip(tmp_path):
     from tools.export_model import main as export_main
     export_main(["--out", out, "--config", cfg_path, "--batch", "4",
                  "--platforms", "cpu"])
+    # int8 variant exports too (bitwise-identical to the in-process int8 run)
+    export_main(["--out", str(tmp_path / "model_i8.jaxexp"), "--config",
+                 cfg_path, "--batch", "4", "--platforms", "cpu", "--int8"])
+    assert json.load(open(str(tmp_path / "model_i8.jaxexp.json")))["int8"]
     meta = json.load(open(out + ".json"))
     assert meta["arg_names"][0] == "roi_img"
     assert meta["shapes"]["roi_img"] == [4, 32, 32, 3]

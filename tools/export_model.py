@@ -28,7 +28,10 @@ import sys
 sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), ".."))
 
 
-def build_exported(cfg, variables, batch_size: int, platforms):
+def build_exported(cfg, variables, batch_size: int, platforms,
+                   int8: bool = False):
+    import contextlib
+
     import jax
     from jax import export as jex
     import jax.numpy as jnp
@@ -41,14 +44,35 @@ def build_exported(cfg, variables, batch_size: int, platforms):
         batch_size=batch_size, input_res=cfg.MODEL.CDPN.BACKBONE.INPUT_RES,
         out_res=cfg.MODEL.CDPN.BACKBONE.OUTPUT_RES)
 
+    int8_scales = None
+    if int8:
+        # PTQ activation scales calibrate on the synthetic batch (as
+        # bench.py does); for deployment, re-export after calibrating on a
+        # real crop batch (pass real arrays through calibrate_act_scales)
+        from gdrnet_tpu.engine.steps import _model_kwargs
+        from gdrnet_tpu.models.quantize import calibrate_act_scales
+
+        bj = {k: jnp.asarray(v) for k, v in b.items()}
+
+        def _cal_apply(v, bb, _apply):
+            _apply(v, bb["roi_img"], **_model_kwargs(bb), train=False)
+
+        int8_scales = calibrate_act_scales(model, variables, [bj],
+                                           apply_fn=_cal_apply)
+
     def forward(roi_img, roi_classes, roi_coord_2d, roi_cams, roi_centers,
                 roi_whs, roi_extents, resize_ratios):
-        out = model.apply(
-            variables, roi_img, roi_classes=roi_classes,
-            roi_coord_2d=roi_coord_2d, roi_cams=roi_cams,
-            roi_centers=roi_centers, roi_whs=roi_whs,
-            roi_extents=roi_extents, resize_ratios=resize_ratios,
-            train=False)
+        from gdrnet_tpu.models.quantize import quantized_scope
+
+        ctx = (quantized_scope(int8_scales) if int8_scales
+               else contextlib.nullcontext())
+        with ctx:
+            out = model.apply(
+                variables, roi_img, roi_classes=roi_classes,
+                roi_coord_2d=roi_coord_2d, roi_cams=roi_cams,
+                roi_centers=roi_centers, roi_whs=roi_whs,
+                roi_extents=roi_extents, resize_ratios=resize_ratios,
+                train=False)
         return out["rot"], out["trans"]
 
     arg_names = ("roi_img", "roi_classes", "roi_coord_2d", "roi_cams",
@@ -69,6 +93,10 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--fold-bn", action="store_true",
                    help="fold BN stats into conv kernels before export")
+    p.add_argument("--int8", action="store_true",
+                   help="bake the int8 MXU serving path into the artifact "
+                        "(TEST.INT8 semantics; calibrated on the export "
+                        "batch)")
     p.add_argument("--platforms", default="cpu,tpu")
     args = p.parse_args(argv)
 
@@ -125,12 +153,12 @@ def main(argv=None):
 
     platforms = [s.strip() for s in args.platforms.split(",") if s.strip()]
     exp, arg_names, shapes = build_exported(cfg, variables, args.batch,
-                                            platforms)
+                                            platforms, int8=args.int8)
     blob = exp.serialize()
     with open(args.out, "wb") as f:
         f.write(blob)
     meta = {"arg_names": list(arg_names), "shapes": shapes,
-            "platforms": platforms, "bytes": len(blob),
+            "platforms": platforms, "bytes": len(blob), "int8": args.int8,
             "outputs": ["rot [B,3,3]", "trans [B,3]"]}
     with open(args.out + ".json", "w") as f:
         json.dump(meta, f, indent=1)
