@@ -109,6 +109,16 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
     # SEED < 0 means fully randomize (reference common_base.py SEED=-1)
     seed = cfg.SEED if cfg.SEED >= 0 else int.from_bytes(
         __import__("os").urandom(4), "little")
+    from gdrnet_tpu.parallel import multihost as _mh
+
+    if _mh.get_world_size() > 1:
+        # every host must see the SAME loader stream + init rng: the batch
+        # device_put asserts cross-process equality (reference broadcasts
+        # the sampler seed too, my_distributed_sampler.py:37)
+        from jax.experimental import multihost_utils
+
+        seed = int(multihost_utils.broadcast_one_to_all(
+            jnp.asarray(seed, jnp.int32)))
     loader = TrainLoader(
         records, mapper, ims_per_batch,
         sampler_name=cfg.DATALOADER.SAMPLER_TRAIN,
@@ -223,9 +233,18 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
     state, start_iter = ckpt.resume_or_load(state, resume=resume)
 
     ev = EventLog()
-    writers = [ConsoleWriter(total_iters), JsonWriter(osp.join(out_dir, "metrics.json"))]
+    # file/console writers on the main process only (reference
+    # setup_for_distributed silences non-master, my_setup.py:6-20; rank-aware
+    # writers my_writer.py) — concurrent metrics.json writers would clobber.
+    # ckpt.save stays on ALL ranks: orbax multiprocess save is a collective.
+    from gdrnet_tpu.parallel import multihost as mh
+
+    writers = []
+    if mh.is_main_process():
+        writers = [ConsoleWriter(total_iters),
+                   JsonWriter(osp.join(out_dir, "metrics.json"))]
     tb = None
-    if cfg.TRAIN.VIS_IMG or cfg.VIS_PERIOD:
+    if (cfg.TRAIN.VIS_IMG or cfg.VIS_PERIOD) and mh.is_main_process():
         from gdrnet_tpu.engine.writers import TensorboardWriter
 
         tb = TensorboardWriter(osp.join(out_dir, "tb"))

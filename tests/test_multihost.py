@@ -72,6 +72,56 @@ print("WORKER", pid, "OK")
 """
 
 
+_TRAIN_WORKER = r"""
+import json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", sys.argv[5])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+coord, pid, outdir, fixture_root = (
+    sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4])
+jax.distributed.initialize(coordinator_address=coord, num_processes=2,
+                           process_id=pid)
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+assert jax.process_count() == 2 and len(jax.devices()) == 2
+
+import numpy as np
+from run_tiny_dotest import _fixture_meta
+from gdrnet_tpu.config import base_config
+from gdrnet_tpu.data.bop import load_bop_scene_dicts
+from gdrnet_tpu.data.dataset_factory import register
+from gdrnet_tpu.engine.trainer import do_train
+
+meta = _fixture_meta(fixture_root)
+register("fixture_train",
+         lambda: (meta, load_bop_scene_dicts(meta, "test", img_type="real")))
+
+cfg = base_config()
+cfg.OUTPUT_DIR = outdir  # SHARED dir: writers must be rank-gated
+cfg.SEED = 1  # identical loader streams + init on every host
+bb = cfg.MODEL.CDPN.BACKBONE
+bb.NUM_LAYERS = 18; bb.INPUT_RES = 32; bb.OUTPUT_RES = 8
+cfg.MODEL.CDPN.ROT_HEAD.NUM_CLASSES = 2
+cfg.MODEL.CDPN.ROT_HEAD.NUM_REGIONS = 4
+cfg.DATASETS.TRAIN = ("fixture_train",); cfg.DATASETS.TEST = ()
+cfg.DATASETS.SYM_OBJS = ["brick"]
+cfg.SOLVER.IMS_PER_BATCH = 4
+cfg.SOLVER.OPTIMIZER_CFG = {"type": "Adam", "lr": 1e-3, "weight_decay": 0}
+cfg.SOLVER.CHECKPOINT_PERIOD = 10000
+cfg.SOLVER.CHECKPOINT_BY_EPOCH = False
+cfg.DATALOADER.NUM_WORKERS = 1  # deterministic: identical batches per host
+cfg.TRAIN.PRINT_FREQ = 2
+
+state, models = do_train(cfg, max_iters_override=4)
+k = np.asarray(state.params["pnp_net"]["fc_r"]["kernel"])
+with open(f"{outdir}/train_rank{pid}.json", "w") as f:
+    json.dump({"step": int(state.step), "k_sum": float(k.sum()),
+               "k_absmax": float(np.abs(k).max())}, f)
+print("TRAIN WORKER", pid, "OK")
+"""
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -124,6 +174,40 @@ def test_two_process_multihost(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {pid} failed:\n{out[-3000:]}"
         assert f"WORKER {pid} OK" in out
+
+    # --- 2-process TRAINING: global 2-device mesh, shared OUTPUT_DIR,
+    # rank-gated writers, collective orbax save
+    train_out = str(tmp_path / "train_out")
+    os.makedirs(train_out, exist_ok=True)
+    train_worker = str(tmp_path / "train_worker.py")
+    with open(train_worker, "w") as f:
+        f.write(_TRAIN_WORKER)
+    coord2 = f"localhost:{_free_port()}"
+    tprocs = [subprocess.Popen(
+        [sys.executable, train_worker, coord2, str(pid), train_out,
+         fixture_root, cache_dir],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for pid in (0, 1)]
+    touts = []
+    for p in tprocs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        touts.append(out)
+    for pid, (p, out) in enumerate(zip(tprocs, touts)):
+        assert p.returncode == 0, f"train rank {pid} failed:\n{out[-3000:]}"
+        assert f"TRAIN WORKER {pid} OK" in out
+    r0 = json.load(open(osp.join(train_out, "train_rank0.json")))
+    r1 = json.load(open(osp.join(train_out, "train_rank1.json")))
+    assert r0["step"] == r1["step"] == 4
+    # replicated params identical across hosts after 4 sharded steps
+    assert r0["k_sum"] == pytest.approx(r1["k_sum"], abs=1e-6)
+    # rank-gated side effects: metrics.json written once (rank 0), final
+    # orbax checkpoint exists (collective save)
+    assert osp.exists(osp.join(train_out, "metrics.json"))
+    assert osp.isdir(osp.join(train_out, "ckpt"))
 
     with open(osp.join(outdir, "base.json")) as f:
         base_summary = json.load(f)
