@@ -79,21 +79,9 @@ def main():
     if ckpt:
         # bench + int8 calibration on REAL weights (orbax dir or converted
         # reference .pth) instead of random init; falls back loudly
-        if ckpt.endswith((".pth", ".pt")):
-            from gdrnet_tpu.utils.torch_convert import load_torch_checkpoint
+        from gdrnet_tpu.engine.checkpoint import load_variables_any
 
-            rh = cfg.MODEL.CDPN.ROT_HEAD
-            pnp_head_cfg = cfg.MODEL.CDPN.PNP_NET.get("PNP_HEAD_CFG", {})
-            params, stats = load_torch_checkpoint(
-                ckpt, head_num_layers=rh.NUM_LAYERS, head_norm=rh.NORM,
-                pnp_norm=pnp_head_cfg.get("norm", "GN"),
-                pnp_num_layers=pnp_head_cfg.get("num_layers", 3))
-            variables = {"params": params, "batch_stats": stats}
-        else:
-            from gdrnet_tpu.engine.checkpoint import load_variables_for_inference
-
-            variables = load_variables_for_inference(ckpt)
-        variables = jax.device_put(variables)
+        variables = jax.device_put(load_variables_any(cfg, ckpt))
         print(f"benching weights from {ckpt}", file=sys.stderr)
 
     if "--fold-bn" in sys.argv:

@@ -65,6 +65,25 @@ def load_variables_for_inference(ckpt_dir: str) -> dict:
     return out
 
 
+def load_variables_any(cfg, path: str) -> dict:
+    """{"params"[, "batch_stats"]} from either a reference torch checkpoint
+    (.pth/.pt, converted in-memory — reference MyCheckpointer loads .pth,
+    core/utils/my_checkpoint.py:26-54) or an orbax checkpoint directory.
+    Head-shape kwargs for the converter come from cfg. Shared by bench.py,
+    tools/export_model.py and `engine.train --eval-only`."""
+    if path.endswith((".pth", ".pt")):
+        from gdrnet_tpu.utils.torch_convert import load_torch_checkpoint
+
+        rh = cfg.MODEL.CDPN.ROT_HEAD
+        pnp_head_cfg = cfg.MODEL.CDPN.PNP_NET.get("PNP_HEAD_CFG", {})
+        params, stats = load_torch_checkpoint(
+            path, head_num_layers=rh.NUM_LAYERS, head_norm=rh.NORM,
+            pnp_norm=pnp_head_cfg.get("norm", "GN"),
+            pnp_num_layers=pnp_head_cfg.get("num_layers", 3))
+        return {"params": params, "batch_stats": stats}
+    return load_variables_for_inference(path)
+
+
 def load_params_for_eval(ckpt_dir: str, state: GDRNTrainState) -> GDRNTrainState:
     """Load the newest checkpoint for eval-only runs (reference
     main_gdrn.py:120-122)."""

@@ -78,17 +78,11 @@ def main(argv=None):
                                    jax.random.PRNGKey(0))
         ckpt_dir = cfg.MODEL.WEIGHTS or osp.join(cfg.OUTPUT_DIR, "ckpt")
         if ckpt_dir.endswith((".pth", ".pt")):
-            # reference torch checkpoint: convert in-memory (the reference
-            # loads .pth via MyCheckpointer, core/utils/my_checkpoint.py:26-54)
-            from gdrnet_tpu.utils.torch_convert import load_torch_checkpoint
+            from gdrnet_tpu.engine.checkpoint import load_variables_any
 
-            rh = cfg.MODEL.CDPN.ROT_HEAD
-            pnp_head_cfg = cfg.MODEL.CDPN.PNP_NET.get("PNP_HEAD_CFG", {})
-            params, batch_stats = load_torch_checkpoint(
-                ckpt_dir, head_num_layers=rh.NUM_LAYERS, head_norm=rh.NORM,
-                pnp_norm=pnp_head_cfg.get("norm", "GN"),
-                pnp_num_layers=pnp_head_cfg.get("num_layers", 3))
-            state = state.replace(params=params, batch_stats=batch_stats)
+            v = load_variables_any(cfg, ckpt_dir)
+            state = state.replace(params=v["params"],
+                                  batch_stats=v["batch_stats"])
         else:
             state = load_params_for_eval(ckpt_dir, state)
         results = do_test(cfg, model, state.variables(), models, records,

@@ -69,6 +69,41 @@ def build_train_objects(cfg, data_root: str = "datasets/BOP_DATASETS"):
     return meta, records, records2, models, mapper
 
 
+def resolve_mesh_spec(cfg, ims_per_batch: int, n_avail: int,
+                      logger=None) -> tuple[int, int, str]:
+    """Pick the training mesh dims from cfg: (total_devices, model_parallel,
+    axis_name). PARALLEL.MESH_SHAPE caps the device budget for BOTH the pure
+    DP and the DP x MP branches; the data-axis size always divides the global
+    batch (the reference asserts divisibility, dataset_utils.py:196-198; we
+    clamp and warn)."""
+    axis = (cfg.PARALLEL.AXIS_NAMES[0]
+            if cfg.PARALLEL.get("AXIS_NAMES") else "data")
+    mesh_shape = tuple(cfg.PARALLEL.get("MESH_SHAPE", (-1,)))
+    if len(mesh_shape) != 1:
+        raise ValueError(f"only 1-D data meshes are supported (DP, like the "
+                         f"reference; use PARALLEL.MODEL_PARALLEL for a "
+                         f"model axis): PARALLEL.MESH_SHAPE={mesh_shape}")
+    if mesh_shape[0] != -1 and mesh_shape[0] < 1:
+        raise ValueError(f"PARALLEL.MESH_SHAPE={mesh_shape} must be (-1,) "
+                         "or a positive device count")
+    dev_budget = n_avail if mesh_shape[0] == -1 else min(n_avail, mesh_shape[0])
+    mp = int(cfg.PARALLEL.get("MODEL_PARALLEL", 1) or 1)
+    if mp > 1:
+        # 2-D (data, model) mesh: data count must still divide the batch
+        dp_cap = dev_budget // mp
+        if dp_cap < 1:
+            raise ValueError(f"MODEL_PARALLEL={mp} exceeds "
+                             f"{dev_budget} devices")
+        dp = max(d for d in range(1, dp_cap + 1) if ims_per_batch % d == 0)
+        return dp * mp, mp, axis
+    n_dev = max(d for d in range(1, dev_budget + 1)
+                if ims_per_batch % d == 0)
+    if n_dev != dev_budget and logger is not None:
+        logger.warning(f"batch {ims_per_batch} not divisible by "
+                       f"{dev_budget} devices; using a {n_dev}-device mesh")
+    return n_dev, 1, axis
+
+
 def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS",
              max_iters_override: int | None = None, eval_fn=None):
     """Returns the final train state. eval_fn(cfg, state, models) is called
@@ -106,12 +141,13 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
     logger.info(f"{len(records)} records, {iters_per_epoch} iters/epoch, "
                 f"{total_iters} total iters")
 
-    # SEED < 0 means fully randomize (reference common_base.py SEED=-1)
-    seed = cfg.SEED if cfg.SEED >= 0 else int.from_bytes(
-        __import__("os").urandom(4), "little")
-    from gdrnet_tpu.parallel import multihost as _mh
+    # SEED < 0 means fully randomize (reference common_base.py SEED=-1);
+    # mask to 31 bits so the int32 broadcast below can never overflow
+    seed = cfg.SEED if cfg.SEED >= 0 else (
+        int.from_bytes(__import__("os").urandom(4), "little") & 0x7FFFFFFF)
+    from gdrnet_tpu.parallel import multihost as mh
 
-    if _mh.get_world_size() > 1:
+    if mh.get_world_size() > 1:
         # every host must see the SAME loader stream + init rng: the batch
         # device_put asserts cross-process equality (reference broadcasts
         # the sampler seed too, my_distributed_sampler.py:37)
@@ -127,41 +163,12 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
         seed=seed,
         records2=records2, ratio2=cfg.DATASETS.TRAIN2_RATIO)
 
-    # mesh over the largest device count that divides the global batch
-    # (the reference asserts divisibility, dataset_utils.py:196-198; we clamp)
-    n_avail = len(jax.devices())
-    n_dev = max(d for d in range(1, n_avail + 1) if ims_per_batch % d == 0)
-    if n_dev != n_avail:
-        logger.warning(f"batch {ims_per_batch} not divisible by {n_avail} "
-                       f"devices; using a {n_dev}-device mesh")
     # PARALLEL.MESH_SHAPE/AXIS_NAMES: 1-D data mesh (the reference is
     # DP-only, SURVEY.md §2.9); the axis name is config-driven so sharded
     # checkpoints/shardings stay stable across runs
-    axis = (cfg.PARALLEL.AXIS_NAMES[0]
-            if cfg.PARALLEL.get("AXIS_NAMES") else "data")
-    mesh_shape = tuple(cfg.PARALLEL.get("MESH_SHAPE", (-1,)))
-    if len(mesh_shape) != 1:
-        raise ValueError(f"only 1-D data meshes are supported (DP, like the "
-                         f"reference; use PARALLEL.MODEL_PARALLEL for a "
-                         f"model axis): PARALLEL.MESH_SHAPE={mesh_shape}")
-    if mesh_shape[0] not in (-1, n_dev):
-        if mesh_shape[0] < 1:
-            raise ValueError(f"PARALLEL.MESH_SHAPE={mesh_shape} must be (-1,) "
-                             "or a positive device count")
-        cap = min(n_dev, mesh_shape[0])
-        # keep the batch-divisibility invariant established above
-        n_dev = max(d for d in range(1, cap + 1) if ims_per_batch % d == 0)
-    mp = int(cfg.PARALLEL.get("MODEL_PARALLEL", 1) or 1)
-    if mp > 1:
-        # 2-D (data, model) mesh: data count must still divide the batch
-        dp_cap = len(jax.devices()) // mp
-        if dp_cap < 1:
-            raise ValueError(f"MODEL_PARALLEL={mp} exceeds "
-                             f"{len(jax.devices())} devices")
-        dp = max(d for d in range(1, dp_cap + 1) if ims_per_batch % d == 0)
-        mesh = make_mesh(dp * mp, axis_name=axis, model_parallel=mp)
-    else:
-        mesh = make_mesh(n_dev, axis_name=axis)
+    n_total, mp, axis = resolve_mesh_spec(
+        cfg, ims_per_batch, len(jax.devices()), logger=logger)
+    mesh = make_mesh(n_total, axis_name=axis, model_parallel=mp)
     model = build_model(cfg)
     base_lr = dict(cfg.SOLVER.OPTIMIZER_CFG).get("lr", 1e-4)
     # with gradient accumulation the inner optimizer (optax.MultiSteps)
@@ -237,8 +244,6 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
     # setup_for_distributed silences non-master, my_setup.py:6-20; rank-aware
     # writers my_writer.py) — concurrent metrics.json writers would clobber.
     # ckpt.save stays on ALL ranks: orbax multiprocess save is a collective.
-    from gdrnet_tpu.parallel import multihost as mh
-
     writers = []
     if mh.is_main_process():
         writers = [ConsoleWriter(total_iters),

@@ -95,3 +95,34 @@ def test_constrain_params_noop_on_1d_mesh():
     params = {"w": jnp.zeros((128, 1024))}
     out = constrain_params(params, mesh)
     assert out is params
+
+
+def test_resolve_mesh_spec_honors_mesh_shape_cap():
+    """PARALLEL.MESH_SHAPE caps the device budget in the MODEL_PARALLEL
+    branch too (regression: the mp branch used to read len(jax.devices())
+    directly and silently ignore the cap)."""
+    from gdrnet_tpu.engine.trainer import resolve_mesh_spec
+
+    cfg = base_config()
+    cfg.PARALLEL.MESH_SHAPE = (4,)
+    cfg.PARALLEL.MODEL_PARALLEL = 2
+    n_total, mp, axis = resolve_mesh_spec(cfg, ims_per_batch=8, n_avail=8)
+    assert (n_total, mp) == (4, 2)  # dp=2, mp=2 — not 8 devices
+    assert axis == "data"
+
+    # pure-DP branch: cap + batch-divisibility clamp
+    cfg.PARALLEL.MODEL_PARALLEL = 1
+    cfg.PARALLEL.MESH_SHAPE = (-1,)
+    n_total, mp, _ = resolve_mesh_spec(cfg, ims_per_batch=6, n_avail=8)
+    assert (n_total, mp) == (6, 1)
+    cfg.PARALLEL.MESH_SHAPE = (4,)
+    n_total, _, _ = resolve_mesh_spec(cfg, ims_per_batch=6, n_avail=8)
+    assert n_total == 3  # capped at 4, clamped to a divisor of 6
+
+    with pytest.raises(ValueError):
+        cfg.PARALLEL.MESH_SHAPE = (0,)
+        resolve_mesh_spec(cfg, ims_per_batch=8, n_avail=8)
+    with pytest.raises(ValueError):
+        cfg.PARALLEL.MESH_SHAPE = (2,)
+        cfg.PARALLEL.MODEL_PARALLEL = 4
+        resolve_mesh_spec(cfg, ims_per_batch=8, n_avail=8)

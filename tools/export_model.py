@@ -116,35 +116,27 @@ def main(argv=None):
         cfg = Config(merge_dict(cfg.to_dict(),
                                 load_config(args.config).to_dict()))
 
-    model = build_model(cfg)
-    b = synthetic_roi_batch(
-        batch_size=2, input_res=cfg.MODEL.CDPN.BACKBONE.INPUT_RES,
-        out_res=cfg.MODEL.CDPN.BACKBONE.OUTPUT_RES)
-    import jax.numpy as jnp
-    sample = {k: jnp.asarray(v) for k, v in b.items()}
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0)}, sample["roi_img"],
-        roi_classes=sample["roi_classes"], roi_coord_2d=sample["roi_coord_2d"],
-        roi_cams=sample["roi_cams"], roi_centers=sample["roi_centers"],
-        roi_whs=sample["roi_whs"], roi_extents=sample["roi_extents"],
-        resize_ratios=sample["resize_ratios"], train=False)
-
     if args.ckpt:
-        if args.ckpt.endswith((".pth", ".pt")):
-            from gdrnet_tpu.utils.torch_convert import load_torch_checkpoint
+        from gdrnet_tpu.engine.checkpoint import load_variables_any
 
-            rh = cfg.MODEL.CDPN.ROT_HEAD
-            pnp_head_cfg = cfg.MODEL.CDPN.PNP_NET.get("PNP_HEAD_CFG", {})
-            params, stats = load_torch_checkpoint(
-                args.ckpt, head_num_layers=rh.NUM_LAYERS, head_norm=rh.NORM,
-                pnp_norm=pnp_head_cfg.get("norm", "GN"),
-                pnp_num_layers=pnp_head_cfg.get("num_layers", 3))
-            variables = {"params": params, "batch_stats": stats}
-        else:
-            from gdrnet_tpu.engine.checkpoint import load_variables_for_inference
-
-            variables = load_variables_for_inference(args.ckpt)
+        variables = load_variables_any(cfg, args.ckpt)
         print(f"exporting weights from {args.ckpt}", file=sys.stderr)
+    else:
+        # random-init smoke artifact: init traces the whole net, so only
+        # pay for it when no checkpoint is provided
+        import jax.numpy as jnp
+
+        model = build_model(cfg)
+        b = synthetic_roi_batch(
+            batch_size=2, input_res=cfg.MODEL.CDPN.BACKBONE.INPUT_RES,
+            out_res=cfg.MODEL.CDPN.BACKBONE.OUTPUT_RES)
+        sample = {k: jnp.asarray(v) for k, v in b.items()}
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, sample["roi_img"],
+            roi_classes=sample["roi_classes"], roi_coord_2d=sample["roi_coord_2d"],
+            roi_cams=sample["roi_cams"], roi_centers=sample["roi_centers"],
+            roi_whs=sample["roi_whs"], roi_extents=sample["roi_extents"],
+            resize_ratios=sample["resize_ratios"], train=False)
 
     if args.fold_bn:
         from gdrnet_tpu.utils.fold_bn import fold_variables
