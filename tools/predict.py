@@ -28,7 +28,9 @@ import numpy as np  # noqa: E402
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config-file", required=True)
-    p.add_argument("--ckpt", required=True)
+    p.add_argument("--ckpt", required=True,
+                   help="orbax checkpoint dir, or a reference torch .pth "
+                        "(converted in-memory)")
     p.add_argument("--dataset", required=True, help="registry name for object"
                    " metadata (meshes/extents), e.g. lm / lmo / ycbv")
     p.add_argument("--data-root", default="datasets/BOP_DATASETS")
@@ -43,22 +45,16 @@ def main(argv=None):
     p.add_argument("opts", nargs="*", default=[])
     args = p.parse_args(argv)
 
-    import jax
-    import jax.numpy as jnp
-
     from gdrnet_tpu.config import load_config, base_config
     from gdrnet_tpu.config.config import Config, merge_dict, apply_opts
     from gdrnet_tpu.data import ObjectModels, load_detections
     from gdrnet_tpu.data.ref_meta import get_meta
     from gdrnet_tpu.data.io import load_json
     from gdrnet_tpu.data.mapper import GDRNTestMapper
-    from gdrnet_tpu.engine.checkpoint import load_params_for_eval
+    from gdrnet_tpu.engine.checkpoint import load_variables_any
     from gdrnet_tpu.engine.steps import make_predict_step
-    from gdrnet_tpu.engine.train_state import create_train_state
     from gdrnet_tpu.eval import save_bop_results
     from gdrnet_tpu.models import build_model
-    from gdrnet_tpu.solver import build_optimizer
-    from gdrnet_tpu.data.synthetic import synthetic_roi_batch
 
     cfg = Config(merge_dict(base_config().to_dict(),
                             load_config(args.config_file).to_dict()))
@@ -70,13 +66,8 @@ def main(argv=None):
         meta, num_pm_points=cfg.MODEL.CDPN.PNP_NET.NUM_PM_POINTS,
         num_fps=cfg.MODEL.CDPN.ROT_HEAD.NUM_REGIONS)
     model = build_model(cfg)
-    sample = {k: jnp.asarray(v) for k, v in synthetic_roi_batch(
-        batch_size=2, input_res=cfg.MODEL.CDPN.BACKBONE.INPUT_RES,
-        out_res=cfg.MODEL.CDPN.BACKBONE.OUTPUT_RES).items()}
-    state = create_train_state(model, build_optimizer(cfg), sample,
-                               jax.random.PRNGKey(0))
-    state = load_params_for_eval(args.ckpt, state)
-    variables = state.variables()
+    # orbax dir or converted reference .pth; no optimizer/train-state needed
+    variables = load_variables_any(cfg, args.ckpt)
     if cfg.TEST.get("FOLD_BN"):  # TEST.FOLD_BN=True on the CLI opts
         from gdrnet_tpu.utils.fold_bn import fold_variables
 
