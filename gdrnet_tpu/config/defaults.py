@@ -134,6 +134,11 @@ _DEFAULTS = dict(
         # models) | "reference" (idx/(bin-1), bit-faithful to converted
         # reference checkpoints — engine_utils.py:103)
         CE_DECODE_TYPE="center",
+        # local data-parallel inference: shard each ROI bucket over this many
+        # local devices via GSPMD (-1 = all, clamped to a divisor of
+        # ROI_BATCH_SIZE). One process drives every chip on the host; the
+        # reference needs a DDP process per GPU for the same coverage.
+        LOCAL_DEVICES=-1,
     ),
     # MODEL: reference gdrn_base.py MODEL dict
     MODEL=dict(

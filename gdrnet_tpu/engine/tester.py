@@ -107,7 +107,23 @@ def do_test(cfg, model, variables, models, records: list[dict],
         extra = {k: v for k, v in variables.items()
                  if k not in ("params", "batch_stats")}
         variables = {**fold_variables(variables), **extra}
-    predict = make_predict_step(model, with_maps=use_pnp)
+    # local data-parallel inference (TEST.LOCAL_DEVICES, default all): one
+    # process drives every local chip by sharding the static bucket over a
+    # 1-D mesh — params replicated, batch dim sharded (GSPMD). The reference
+    # needs one DDP process per GPU for the same coverage (engine.py:121-142).
+    import jax
+
+    n_want = int(cfg.TEST.get("LOCAL_DEVICES", -1) or -1)
+    avail = len(jax.local_devices())
+    n_want = avail if n_want < 0 else max(1, min(n_want, avail))
+    n_loc = max(d for d in range(1, n_want + 1) if bucket % d == 0)
+    mesh = None
+    if n_loc > 1:
+        from gdrnet_tpu.parallel import make_mesh, replicated_sharding, shard_batch
+
+        mesh = make_mesh(n_loc)
+        variables = jax.device_put(variables, replicated_sharding(mesh))
+    predict = make_predict_step(model, mesh=mesh, with_maps=use_pnp)
     int8 = bool(cfg.TEST.get("INT8"))
 
     evaluator = CustomEvaluator(
@@ -179,9 +195,11 @@ def do_test(cfg, model, variables, models, records: list[dict],
             from gdrnet_tpu.models.quantize import calibrate_act_scales
 
             scales = calibrate_act_scales(model, variables, [dev_batch])
-            predict = make_predict_step(model, with_maps=use_pnp,
+            predict = make_predict_step(model, mesh=mesh, with_maps=use_pnp,
                                         int8_scales=scales)
             int8 = False
+        if mesh is not None:
+            dev_batch = shard_batch(dev_batch, mesh)
         out = predict(variables, dev_batch)
         rot = np.array(out["rot"])    # writable copies (PnP may refine rows)
         trans = np.array(out["trans"])

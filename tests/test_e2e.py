@@ -136,6 +136,20 @@ def test_train_eval_resume(fixture_env, tmp_path):
     assert all(len(v) == 1 for v in times_by_img.values())
     assert "objects" in results["_summary"]
 
+    # --- local data-parallel inference (TEST.LOCAL_DEVICES): the run above
+    # sharded each bucket over the virtual mesh (default -1 = all local
+    # devices); forcing single-device must yield the same metrics exactly
+    # (batch-dim sharding is row-independent)
+    cfg.TEST.LOCAL_DEVICES = 1
+    cfg.VAL.USE_BOP = False  # skip re-scoring; pose metrics are the signal
+    r1 = do_test(cfg, model, state.variables(), models, records,
+                 output_dir=None, save_csv=False)
+    for name in ("cube", "brick"):
+        for k, v in results[name].items():
+            assert r1[name][k] == pytest.approx(v, rel=1e-6), (name, k)
+    cfg.TEST.LOCAL_DEVICES = -1
+    cfg.VAL.USE_BOP = True
+
     # --- est-detections eval: brick has no detections anywhere -> its GTs
     # are recall failures (reference gdrn_custom_evaluator.py:552-556)
     import json as _json
