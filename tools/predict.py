@@ -72,7 +72,23 @@ def main(argv=None):
         from gdrnet_tpu.utils.fold_bn import fold_variables
 
         variables = fold_variables(variables)
-    predict = make_predict_step(model)
+    # local data-parallel serving (TEST.LOCAL_DEVICES, default all local
+    # chips): shard each bucket over a 1-D mesh, params replicated — same
+    # semantics as engine/tester.do_test
+    import jax
+
+    bucket = int(cfg.TEST.ROI_BATCH_SIZE)
+    n_want = int(cfg.TEST.get("LOCAL_DEVICES", -1) or -1)
+    avail = len(jax.local_devices())
+    n_want = avail if n_want < 0 else max(1, min(n_want, avail))
+    n_loc = max(d for d in range(1, n_want + 1) if bucket % d == 0)
+    mesh = None
+    if n_loc > 1:
+        from gdrnet_tpu.parallel import make_mesh, replicated_sharding, shard_batch
+
+        mesh = make_mesh(n_loc)
+        variables = jax.device_put(variables, replicated_sharding(mesh))
+    predict = make_predict_step(model, mesh=mesh)
     int8 = bool(cfg.TEST.get("INT8"))  # TEST.INT8=True on the CLI opts
 
     K_global = None
@@ -92,7 +108,6 @@ def main(argv=None):
         return np.asarray(cam["cam_K"], np.float32).reshape(3, 3)
 
     dets = load_detections(args.dets, score_thr=0.0, topk_per_obj=100)
-    bucket = int(cfg.TEST.ROI_BATCH_SIZE)
     mapper = GDRNTestMapper(cfg, models, roi_batch_size=bucket)
 
     flat = []
@@ -118,9 +133,11 @@ def main(argv=None):
             from gdrnet_tpu.models.quantize import calibrate_act_scales
 
             predict = make_predict_step(
-                model,
+                model, mesh=mesh,
                 int8_scales=calibrate_act_scales(model, variables, [dev]))
             int8 = False
+        if mesh is not None:
+            dev = shard_batch(dev, mesh)
         out = predict(variables, dev)
         rot = np.asarray(out["rot"])
         trans = np.asarray(out["trans"])
