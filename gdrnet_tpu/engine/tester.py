@@ -185,9 +185,34 @@ def do_test(cfg, model, variables, models, records: list[dict],
     bop_results = []
     total_compute, total_process, n_buckets = 0.0, 0.0, 0
     mask_thr = cfg.MODEL.CDPN.ROT_HEAD.MASK_THR_TEST
-    for start in range(0, len(flat), bucket):
-        chunk = flat[start:start + bucket]
-        batch = mapper.map_flat([(p, K, d) for p, K, d, _ in chunk])
+
+    # pipeline host mapping with device compute: one producer thread maps
+    # bucket i+1 (cv2 decode/warp — the host bottleneck) while the device
+    # runs bucket i (the reference's per-image loop serializes the two,
+    # gdrn_evaluator.py:545-560)
+    import queue as _queue
+    import threading as _threading
+
+    buckets_q: _queue.Queue = _queue.Queue(maxsize=2)
+
+    def _producer():
+        try:
+            for start_ in range(0, len(flat), bucket):
+                chunk_ = flat[start_:start_ + bucket]
+                batch_ = mapper.map_flat([(p, K, d) for p, K, d, _ in chunk_])
+                buckets_q.put((start_, chunk_, batch_))
+            buckets_q.put(None)
+        except BaseException as e:  # surface mapper errors in the main loop
+            buckets_q.put(e)
+
+    _threading.Thread(target=_producer, daemon=True).start()
+    while True:
+        item = buckets_q.get()
+        if item is None:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        start, chunk, batch = item
         t0 = time.perf_counter()
         dev_batch = {k: v for k, v in batch.items()
                      if k not in ("valid", "scores", "obj_ids", "im_hws")}
