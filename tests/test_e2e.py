@@ -138,15 +138,16 @@ def test_train_eval_resume(fixture_env, tmp_path):
 
     # --- local data-parallel inference (TEST.LOCAL_DEVICES): the run above
     # sharded each bucket over the virtual mesh (default -1 = all local
-    # devices); forcing single-device must yield the same metrics exactly
-    # (batch-dim sharding is row-independent)
+    # devices); forcing single-device must yield the same metrics up to f32
+    # round-off (per-device conv batch blocking changes summation order by
+    # ~1e-6 rel, amplified through acos in the rotation error)
     cfg.TEST.LOCAL_DEVICES = 1
     cfg.VAL.USE_BOP = False  # skip re-scoring; pose metrics are the signal
     r1 = do_test(cfg, model, state.variables(), models, records,
                  output_dir=None, save_csv=False)
     for name in ("cube", "brick"):
         for k, v in results[name].items():
-            assert r1[name][k] == pytest.approx(v, rel=1e-6), (name, k)
+            assert r1[name][k] == pytest.approx(v, rel=1e-4, abs=1e-6), (name, k)
     cfg.TEST.LOCAL_DEVICES = -1
     cfg.VAL.USE_BOP = True
 
