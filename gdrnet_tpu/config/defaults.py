@@ -120,6 +120,11 @@ _DEFAULTS = dict(
         TEST_BBOX_TYPE="gt",
         USE_PNP=False,
         PNP_TYPE="ransac_pnp",
+        # solve the PnP refinement for the whole ROI bucket as one jitted
+        # XLA program (ops/device_pnp.py: weighted EPnP + Gumbel-top-k
+        # RANSAC + LM polish) instead of per-ROI cv2 on host CPU — the
+        # reference's eval-time hot spot (gdrn_evaluator.py:187-435)
+        DEVICE_PNP=False,
         PRECISE_BN=dict(ENABLED=False, NUM_ITER=200),
         AMP_TEST=False,
         # int8 MXU serving path (post-training quantization of backbone +

@@ -92,6 +92,10 @@ def do_test(cfg, model, variables, models, records: list[dict],
 
     use_pnp = cfg.TEST.USE_PNP
     pnp_type = cfg.TEST.PNP_TYPE  # ransac_pnp | net_iter_pnp | net_ransac_pnp
+    # TEST.DEVICE_PNP: solve the whole bucket's RANSAC-EPnP/LM refinement as
+    # one jitted XLA program (ops/device_pnp.py) instead of per-ROI cv2 on
+    # host (the reference's eval-time CPU hot spot, gdrn_evaluator.py:187-435)
+    device_pnp = use_pnp and bool(cfg.TEST.get("DEVICE_PNP"))
     bucket = cfg.TEST.ROI_BATCH_SIZE
     if cfg.TEST.get("DEVICE_PREPROCESS"):
         from gdrnet_tpu.data.mapper import GDRNDeviceTestMapper
@@ -226,15 +230,30 @@ def do_test(cfg, model, variables, models, records: list[dict],
         if mesh is not None:
             dev_batch = shard_batch(dev_batch, mesh)
         out = predict(variables, dev_batch)
-        rot = np.array(out["rot"])    # writable copies (PnP may refine rows)
-        trans = np.array(out["trans"])
         if use_pnp:
-            xyz_dec = np.asarray(get_out_coor(
+            xyz_dec = get_out_coor(
                 out["coor_x"], out["coor_y"], out["coor_z"],
                 cfg.MODEL.CDPN.ROT_HEAD.XYZ_BIN,
-                decode_type=cfg.TEST.get("CE_DECODE_TYPE", "center")))
-            mask_dec = np.asarray(get_out_mask(
-                out["mask"], cfg.MODEL.CDPN.ROT_HEAD.MASK_LOSS_TYPE))
+                decode_type=cfg.TEST.get("CE_DECODE_TYPE", "center"))
+            mask_dec = get_out_mask(
+                out["mask"], cfg.MODEL.CDPN.ROT_HEAD.MASK_LOSS_TYPE)
+        if device_pnp:
+            from gdrnet_tpu.ops.device_pnp import pnp_from_maps_batch
+
+            im_wh = np.asarray(batch["im_hws"], np.float32)[:, ::-1]
+            R_ref, t_ref = pnp_from_maps_batch(
+                jax.random.fold_in(jax.random.PRNGKey(0), start),
+                mask_dec, xyz_dec, dev_batch["roi_coord_2d"], im_wh,
+                dev_batch["roi_extents"], dev_batch["roi_cams"],
+                out["rot"], out["trans"], np.asarray(batch["valid"]),
+                mode=pnp_type, mask_thr=float(mask_thr))
+            rot, trans = np.array(R_ref), np.array(t_ref)
+        else:
+            rot = np.array(out["rot"])   # writable (host PnP refines rows)
+            trans = np.array(out["trans"])
+        if use_pnp and not device_pnp:
+            xyz_dec = np.asarray(xyz_dec)
+            mask_dec = np.asarray(mask_dec)
         if start > 0:  # warmup-excluded timing (gdrn_evaluator.py:545-560)
             total_compute += time.perf_counter() - t0
             n_buckets += 1
@@ -243,7 +262,7 @@ def do_test(cfg, model, variables, models, records: list[dict],
         for j, (_, _, det, meta_j) in enumerate(chunk):
             obj_id = int(batch["obj_ids"][j])
             name = models.meta.id2obj[obj_id]
-            if use_pnp:
+            if use_pnp and not device_pnp:
                 im_h, im_w = (int(batch["im_hws"][j][0]), int(batch["im_hws"][j][1]))
                 img_pts, mdl_pts = correspondences_from_maps(
                     mask_dec[j], xyz_dec[j], batch["roi_coord_2d"][j],

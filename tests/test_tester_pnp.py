@@ -27,8 +27,10 @@ def env(tmp_path_factory):
     return meta, records, models
 
 
-@pytest.mark.parametrize("pnp_type", ["ransac_pnp", "net_iter_pnp", "net_ransac_pnp"])
-def test_do_test_use_pnp(env, tmp_path, pnp_type):
+@pytest.mark.parametrize("pnp_type,device_pnp", [
+    ("ransac_pnp", False), ("net_iter_pnp", False), ("net_ransac_pnp", False),
+    ("ransac_pnp", True), ("net_iter_pnp", True)])
+def test_do_test_use_pnp(env, tmp_path, pnp_type, device_pnp):
     meta, records, models = env
     cfg = base_config()
     cfg.MODEL.CDPN.BACKBONE.NUM_LAYERS = 18
@@ -38,6 +40,7 @@ def test_do_test_use_pnp(env, tmp_path, pnp_type):
     cfg.MODEL.CDPN.ROT_HEAD.NUM_REGIONS = 4
     cfg.TEST.USE_PNP = True
     cfg.TEST.PNP_TYPE = pnp_type
+    cfg.TEST.DEVICE_PNP = device_pnp  # batched on-device EPnP/RANSAC/LM
     cfg.TEST.ROI_BATCH_SIZE = 4
     model = build_model(cfg)
     sample = {k: __import__("jax.numpy", fromlist=["asarray"]).asarray(v)
