@@ -17,14 +17,9 @@ from collections import defaultdict
 import numpy as np
 
 from gdrnet_tpu.data import GDRNTestMapper, load_detections
-from gdrnet_tpu.engine.decode import get_out_coor, get_out_mask
+from gdrnet_tpu.engine.pnp_refine import refine_bucket_poses
 from gdrnet_tpu.engine.steps import make_predict_step
 from gdrnet_tpu.eval import CustomEvaluator, save_bop_results
-from gdrnet_tpu.eval.pnp import (
-    correspondences_from_maps,
-    pnp_ransac,
-    pnp_refine_from_net,
-)
 
 
 def build_test_items(records: list[dict], detections: dict | None = None,
@@ -91,11 +86,6 @@ def do_test(cfg, model, variables, models, records: list[dict],
                 "d_test); failing before inference")
 
     use_pnp = cfg.TEST.USE_PNP
-    pnp_type = cfg.TEST.PNP_TYPE  # ransac_pnp | net_iter_pnp | net_ransac_pnp
-    # TEST.DEVICE_PNP: solve the whole bucket's RANSAC-EPnP/LM refinement as
-    # one jitted XLA program (ops/device_pnp.py) instead of per-ROI cv2 on
-    # host (the reference's eval-time CPU hot spot, gdrn_evaluator.py:187-435)
-    device_pnp = use_pnp and bool(cfg.TEST.get("DEVICE_PNP"))
     bucket = cfg.TEST.ROI_BATCH_SIZE
     if cfg.TEST.get("DEVICE_PREPROCESS"):
         from gdrnet_tpu.data.mapper import GDRNDeviceTestMapper
@@ -188,7 +178,6 @@ def do_test(cfg, model, variables, models, records: list[dict],
 
     bop_results = []
     total_compute, total_process, n_buckets = 0.0, 0.0, 0
-    mask_thr = cfg.MODEL.CDPN.ROT_HEAD.MASK_THR_TEST
 
     # pipeline host mapping with device compute: one producer thread maps
     # bucket i+1 (cv2 decode/warp — the host bottleneck) while the device
@@ -231,52 +220,22 @@ def do_test(cfg, model, variables, models, records: list[dict],
             dev_batch = shard_batch(dev_batch, mesh)
         out = predict(variables, dev_batch)
         if use_pnp:
-            xyz_dec = get_out_coor(
-                out["coor_x"], out["coor_y"], out["coor_z"],
-                cfg.MODEL.CDPN.ROT_HEAD.XYZ_BIN,
-                decode_type=cfg.TEST.get("CE_DECODE_TYPE", "center"))
-            mask_dec = get_out_mask(
-                out["mask"], cfg.MODEL.CDPN.ROT_HEAD.MASK_LOSS_TYPE)
-        if device_pnp:
-            from gdrnet_tpu.ops.device_pnp import pnp_from_maps_batch
-
-            im_wh = np.asarray(batch["im_hws"], np.float32)[:, ::-1]
-            R_ref, t_ref = pnp_from_maps_batch(
-                jax.random.fold_in(jax.random.PRNGKey(0), start),
-                mask_dec, xyz_dec, dev_batch["roi_coord_2d"], im_wh,
-                dev_batch["roi_extents"], dev_batch["roi_cams"],
-                out["rot"], out["trans"], np.asarray(batch["valid"]),
-                mode=pnp_type, mask_thr=float(mask_thr))
-            rot, trans = np.array(R_ref), np.array(t_ref)
+            # TEST.DEVICE_PNP solves the whole bucket's RANSAC-EPnP/LM as one
+            # XLA program; otherwise the reference's per-ROI cv2 loop runs on
+            # host (gdrn_evaluator.py:187-435). Either way refinement is pose
+            # computation, so it lands in the compute window.
+            rot, trans = refine_bucket_poses(
+                cfg, models, batch, dev_batch, out, seed=start)
         else:
-            rot = np.array(out["rot"])   # writable (host PnP refines rows)
+            rot = np.array(out["rot"])
             trans = np.array(out["trans"])
-        if use_pnp and not device_pnp:
-            xyz_dec = np.asarray(xyz_dec)
-            mask_dec = np.asarray(mask_dec)
         if start > 0:  # warmup-excluded timing (gdrn_evaluator.py:545-560)
             total_compute += time.perf_counter() - t0
             n_buckets += 1
 
         t1 = time.perf_counter()
-        for j, (_, _, det, meta_j) in enumerate(chunk):
+        for j, (_, _, _, meta_j) in enumerate(chunk):
             obj_id = int(batch["obj_ids"][j])
-            name = models.meta.id2obj[obj_id]
-            if use_pnp and not device_pnp:
-                im_h, im_w = (int(batch["im_hws"][j][0]), int(batch["im_hws"][j][1]))
-                img_pts, mdl_pts = correspondences_from_maps(
-                    mask_dec[j], xyz_dec[j], batch["roi_coord_2d"][j],
-                    im_w, im_h, models.extents[name], mask_thr=mask_thr)
-                K = np.asarray(batch["roi_cams"][j])
-                if pnp_type == "ransac_pnp":
-                    pose = pnp_ransac(mdl_pts, img_pts, K, method="epnp",
-                                      ransac=True)
-                    if pose is not None:
-                        rot[j], trans[j] = pose[:, :3], pose[:, 3]
-                else:  # net_iter_pnp | net_ransac_pnp
-                    ptype = "ransac" if "ransac" in pnp_type else "iter"
-                    rot[j], trans[j] = pnp_refine_from_net(
-                        rot[j], trans[j], mdl_pts, img_pts, K, pnp_type=ptype)
             bop_results.append({
                 "scene_id": meta_j["scene_id"], "im_id": meta_j["im_id"],
                 "obj_id": obj_id, "score": float(batch["scores"][j]),

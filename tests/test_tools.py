@@ -224,6 +224,29 @@ def test_predict_cli(tmp_path):
         assert ang < 2.0, ang
         assert np.linalg.norm(r8["t"] - r["t"]) < 0.05 * np.linalg.norm(r["t"])
 
+    # PnP refinement in the serving CLI (TEST.USE_PNP + DEVICE_PNP): the
+    # untrained net's maps are noise, so the net-translation fallback keeps
+    # poses finite; this pins the predict->refine_bucket_poses wiring
+    cfgp_path = tmp_path / "cfgp.py"
+    cfgp_path.write_text(cfg_path.read_text().replace(
+        "TEST = dict(ROI_BATCH_SIZE=4)",
+        "TEST = dict(ROI_BATCH_SIZE=4, USE_PNP=True, DEVICE_PNP=True, "
+        "PNP_TYPE='net_iter_pnp')"))
+    outp = str(tmp_path / "poses_pnp.csv")
+    rm.get_meta = lambda name, data_root=None: meta
+    try:
+        predict_tool.main([
+            "--config-file", str(cfgp_path), "--ckpt", str(tmp_path / "ckpt"),
+            "--dataset", "fixture", "--dets", str(dets_path),
+            "--image-root", osp.join(str(root), "test"),
+            "--out", outp])
+    finally:
+        rm.get_meta = real_get_meta
+    rowsp = load_bop_results(outp)
+    assert len(rowsp) == len(rows)
+    for r in rowsp:
+        assert np.all(np.isfinite(r["R"])) and np.all(np.isfinite(r["t"]))
+
 
 def test_bench_ckpt_loading(tmp_path, capsys, monkeypatch):
     """bench.py --ckpt: benches (and int8-calibrates) real weights from an

@@ -88,7 +88,10 @@ def main(argv=None):
 
         mesh = make_mesh(n_loc)
         variables = jax.device_put(variables, replicated_sharding(mesh))
-    predict = make_predict_step(model, mesh=mesh)
+    # TEST.USE_PNP=True (+TEST.PNP_TYPE / TEST.DEVICE_PNP) on the CLI opts
+    # refines net poses from the decoded geometry maps, same as do_test
+    use_pnp = bool(cfg.TEST.USE_PNP)
+    predict = make_predict_step(model, mesh=mesh, with_maps=use_pnp)
     int8 = bool(cfg.TEST.get("INT8"))  # TEST.INT8=True on the CLI opts
 
     K_global = None
@@ -133,14 +136,20 @@ def main(argv=None):
             from gdrnet_tpu.models.quantize import calibrate_act_scales
 
             predict = make_predict_step(
-                model, mesh=mesh,
+                model, mesh=mesh, with_maps=use_pnp,
                 int8_scales=calibrate_act_scales(model, variables, [dev]))
             int8 = False
         if mesh is not None:
             dev = shard_batch(dev, mesh)
         out = predict(variables, dev)
-        rot = np.asarray(out["rot"])
-        trans = np.asarray(out["trans"])
+        if use_pnp:
+            from gdrnet_tpu.engine.pnp_refine import refine_bucket_poses
+
+            rot, trans = refine_bucket_poses(
+                cfg, models, batch, dev, out, seed=start)
+        else:
+            rot = np.asarray(out["rot"])
+            trans = np.asarray(out["trans"])
         dt = time.perf_counter() - t0
         for j, (_, _, det, scene_id, im_id) in enumerate(chunk):
             rows.append({"scene_id": scene_id, "im_id": im_id,
