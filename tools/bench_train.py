@@ -27,6 +27,10 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=6)
     args = p.parse_args(argv)
 
+    from gdrnet_tpu.utils.device_probe import probe_device
+
+    probe_device()  # the tunnel can hang at backend init; don't bind blind
+
     import jax
     import jax.numpy as jnp
 

@@ -11,6 +11,8 @@ Usage: python tools/validate_overfit.py [--device-preprocess] [--int8]
 import os.path as osp
 import sys as _sys
 _sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), ".."))
+from gdrnet_tpu.utils.device_probe import probe_device
+probe_device()  # the tunnel can hang at backend init; don't bind blind
 import time, numpy as np, jax, jax.numpy as jnp, sys, os
 sys.path.insert(0, osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), "tests"))
 from fixture_bop import build_fixture_dataset
