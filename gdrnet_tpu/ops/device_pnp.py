@@ -64,10 +64,10 @@ def _kabsch(src, dst, w):
     H = jnp.einsum("ni,nj->ij", (src - mu_s) * w[:, None], dst - mu_d,
                    precision=_HI)
     U, _, Vt = jnp.linalg.svd(H)
-    d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
+    d = jnp.sign(jnp.linalg.det(jnp.matmul(Vt.T, U.T, precision=_HI)))
     S = jnp.diag(jnp.array([1.0, 1.0, 1.0]) * jnp.array([1.0, 1.0, d]))
-    R = Vt.T @ S @ U.T
-    return R, mu_d - R @ mu_s
+    R = jnp.matmul(jnp.matmul(Vt.T, S, precision=_HI), U.T, precision=_HI)
+    return R, mu_d - jnp.matmul(R, mu_s, precision=_HI)
 
 
 def _betas_approx(LL, rho):
@@ -116,8 +116,8 @@ def _gauss_newton_betas(betas, dv, rho, iters: int = 8):
         x = jnp.einsum("k,kpi->pi", b, dv, precision=_HI)    # [6,3]
         e = rho - jnp.sum(x * x, axis=1)                      # residuals [6]
         J = 2.0 * jnp.einsum("pi,kpi->pk", x, dv, precision=_HI)  # [6,4]
-        JtJ = J.T @ J + 1e-9 * jnp.eye(4)
-        return b + jnp.linalg.solve(JtJ, J.T @ e)
+        JtJ = jnp.matmul(J.T, J, precision=_HI) + 1e-9 * jnp.eye(4)
+        return b + jnp.linalg.solve(JtJ, jnp.matmul(J.T, e, precision=_HI))
 
     return jax.lax.fori_loop(0, iters, step, betas)
 
@@ -214,7 +214,7 @@ def refine_pose_lm(R0, t0, p3, p2, K, w, iters: int = 10):
         JtJ = jnp.einsum("nik,n,nil->kl", J, w, J, precision=_HI)
         Jtr = jnp.einsum("nik,n,ni->k", J, w, r, precision=_HI)
         dx = jnp.linalg.solve(JtJ + lam * jnp.eye(6), -Jtr)
-        R_new = so3_exp(dx[:3]) @ R
+        R_new = jnp.matmul(so3_exp(dx[:3]), R, precision=_HI)
         t_new = t + dx[3:]
         c1, _ = cost(R_new, t_new)
         ok = c1 < c0
@@ -234,17 +234,22 @@ def ransac_epnp(key, p3, p2, K, w, n_hyp: int = 128, sample_size: int = 6,
     reprojectionError default 3 px). Static shapes: n_hyp Gumbel-top-k
     minimal sets drawn from the weight distribution, inliers counted over all
     points, best hypothesis refit on its inliers. Returns (R, t, ok,
-    inlier_w); ok is False when fewer than `sample_size` points are valid
-    (callers keep the net pose, reference gdrn_evaluator.py:253-257)."""
+    inlier_w); ok is False below 4 valid points — the host path's guard
+    (eval/pnp.correspondences minimum; callers then keep the net pose,
+    reference gdrn_evaluator.py:253-257)."""
     valid = w > 0
     n_valid = jnp.sum(valid)
-    # Gumbel-top-k: k distinct indices per hypothesis, never a zero-weight one
+    # Gumbel-top-k: k distinct indices per hypothesis, zero-weight (padding)
+    # points rank below every valid one so they are only drawn when fewer
+    # than sample_size valid points exist ...
     g = jax.random.gumbel(key, (n_hyp,) + w.shape) + jnp.log(w + 1e-30)
     _, idx = jax.lax.top_k(g, sample_size)             # [n_hyp, S]
 
     def hyp(i):
+        # ... and then the hypothesis weights zero them out, so a 4-5-point
+        # ROI still solves from exactly its valid points (host parity)
         R, t, _ = weighted_epnp(p3[idx[i]], p2[idx[i]], K,
-                                jnp.ones(sample_size))
+                                (w[idx[i]] > 0).astype(jnp.float32))
         err = reprojection_errors(R, t, p3, p2, K)
         inl = (err < reproj_thr) & valid
         return R, t, jnp.sum(inl), inl
@@ -262,7 +267,7 @@ def ransac_epnp(key, p3, p2, K, w, n_hyp: int = 128, sample_size: int = 6,
         take = (jnp.sum(w_in > 0) >= 4) & (n_new >= scores[best])
         R_b = jnp.where(take, R_r, R_b)
         t_b = jnp.where(take, t_r, t_b)
-    ok = n_valid >= sample_size
+    ok = n_valid >= 4
     return R_b, t_b, ok, w_in
 
 

@@ -77,14 +77,18 @@ def test_experiment_configs_load(path, checks):
     assert set(dict(cfg.SOLVER.OPTIMIZER_CFG)) <= {"type", "lr", "weight_decay"}
 
 
-def test_train_cli_setup():
+def test_train_cli_setup(tmp_path, monkeypatch):
     from gdrnet_tpu.engine.train import parse_args, setup
 
+    # setup() dumps config_dump.json into the (relative) OUTPUT_DIR; run in
+    # a tmp cwd so the test never clobbers the repo's committed output/ dump
+    monkeypatch.chdir(tmp_path)
     args = parse_args(["--config-file", osp.join(REPO, "configs/gdrn/lm/a6_cPnP_lm13.py"),
                        "SOLVER.IMS_PER_BATCH=8"])
     cfg = setup(args)
     assert cfg.SOLVER.IMS_PER_BATCH == 8
     assert cfg.OUTPUT_DIR == "output/gdrn/lm/a6_cPnP_lm13"
+    assert (tmp_path / cfg.OUTPUT_DIR / "config_dump.json").exists()
 
 
 def test_all_experiment_configs_load():
