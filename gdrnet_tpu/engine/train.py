@@ -53,6 +53,10 @@ def main(argv=None):
     args = parse_args(argv)
     cfg = setup(args)
 
+    from gdrnet_tpu.utils.device_probe import probe_device
+
+    probe_device()  # the tunnel can hang at backend init; don't bind blind
+
     from gdrnet_tpu.engine.trainer import do_train
     from gdrnet_tpu.engine.tester import do_test
     from gdrnet_tpu.models import build_model

@@ -133,19 +133,16 @@ def test_reprojection_errors_behind_camera(rng):
 
 
 def _maps_from_scene(rng, h=64, w=64, mask_frac=0.6):
-    """Synthetic decoded maps: xyz_norm/coord2d/mask as the tester feeds them
-    (full-image-fraction coord2d, [0,1] xyz over the extent)."""
-    R = _rand_rot(rng).astype(np.float32)
-    t = np.array([0.02, -0.01, 0.7], np.float32)
-    extent = np.array([0.2, 0.2, 0.2], np.float32)
-    im_w, im_h = 640, 480
-    p3 = ((rng.rand(h * w, 3) - 0.5) * extent).astype(np.float32)
-    uv = (p3 @ R.T + t) @ K.T
-    uv = uv[:, :2] / uv[:, 2:3]
-    mask = (rng.rand(h, w) < mask_frac).astype(np.float32)
-    xyz_norm = (p3 / extent + 0.5).reshape(h, w, 3)
-    coord2d = (uv / [im_w, im_h]).reshape(h, w, 2).astype(np.float32)
-    return R, t, xyz_norm, mask, coord2d, extent, (im_w, im_h)
+    """Single synthetic decoded-maps scene in the tester's contract — thin
+    wrapper over the shared builder (data/synthetic.synthetic_decoded_maps,
+    also used by tools/bench_pnp.py) so the map conventions live in one
+    place."""
+    from gdrnet_tpu.data.synthetic import synthetic_decoded_maps
+
+    mask, xyz_norm, coord2d, R, t, K_, extent, im_wh = synthetic_decoded_maps(
+        rng, 1, h=h, w=w, mask_frac=mask_frac)
+    np.testing.assert_array_equal(K_, K)  # module-level K is the same camera
+    return R[0], t[0], xyz_norm[0], mask[0], coord2d[0], extent, im_wh
 
 
 @pytest.mark.parametrize("mode", ["ransac_pnp", "net_iter_pnp",

@@ -29,7 +29,7 @@ def env(tmp_path_factory):
 
 @pytest.mark.parametrize("pnp_type,device_pnp", [
     ("ransac_pnp", False), ("net_iter_pnp", False), ("net_ransac_pnp", False),
-    ("ransac_pnp", True), ("net_iter_pnp", True)])
+    ("ransac_pnp", True), ("net_iter_pnp", True), ("net_ransac_pnp", True)])
 def test_do_test_use_pnp(env, tmp_path, pnp_type, device_pnp):
     meta, records, models = env
     cfg = base_config()

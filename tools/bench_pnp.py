@@ -21,29 +21,6 @@ import time
 sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), ".."))
 
 
-def make_maps(rng, B, h=64, w=64, mask_frac=0.6):
-    import numpy as np
-
-    K = np.array([[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1.0]],
-                 np.float32)
-    extent = np.array([0.2, 0.2, 0.2], np.float32)
-    masks, xyzs, c2ds, Rs, ts = [], [], [], [], []
-    for _ in range(B):
-        Q, _ = np.linalg.qr(rng.randn(3, 3))
-        R = (Q * np.sign(np.linalg.det(Q))).astype(np.float32)
-        t = np.array([0.02, -0.01, 0.7], np.float32) + rng.randn(3) * 0.02
-        p3 = ((rng.rand(h * w, 3) - 0.5) * extent).astype(np.float32)
-        uv = (p3 @ R.T + t) @ K.T
-        uv = uv[:, :2] / uv[:, 2:3] + rng.randn(h * w, 2) * 0.5
-        masks.append((rng.rand(h, w) < mask_frac).astype(np.float32))
-        xyzs.append((p3 / extent + 0.5).reshape(h, w, 3))
-        c2ds.append((uv / [640, 480]).reshape(h, w, 2).astype(np.float32))
-        Rs.append(R)
-        ts.append(t.astype(np.float32))
-    return (np.stack(masks), np.stack(xyzs), np.stack(c2ds),
-            np.stack(Rs), np.stack(ts), K, extent)
-
-
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=64)
@@ -54,9 +31,12 @@ def main(argv=None):
 
     import numpy as np
 
+    from gdrnet_tpu.data.synthetic import synthetic_decoded_maps
+
     rng = np.random.RandomState(0)
     B = args.batch
-    mask, xyzn, c2d, R_gt, t_gt, K, extent = make_maps(rng, B)
+    mask, xyzn, c2d, R_gt, t_gt, K, extent, (im_w, im_h) = \
+        synthetic_decoded_maps(rng, B, noise_px=0.5, t_jitter=0.02)
 
     if not args.skip_host:
         from gdrnet_tpu.eval.pnp import correspondences_from_maps, pnp_ransac
@@ -64,7 +44,7 @@ def main(argv=None):
         t0 = time.perf_counter()
         for j in range(B):
             img_pts, mdl_pts = correspondences_from_maps(
-                mask[j], xyzn[j], c2d[j], 640, 480, extent)
+                mask[j], xyzn[j], c2d[j], im_w, im_h, extent)
             pnp_ransac(mdl_pts, img_pts, K, method="epnp", ransac=True)
         dt = time.perf_counter() - t0
         print(json.dumps({"metric": "pnp_host_cv2", "value": B / dt,
@@ -81,7 +61,8 @@ def main(argv=None):
 
     fn_kwargs = dict(mode=args.mode, mask_thr=0.5)
     inputs = (jnp.asarray(mask), jnp.asarray(xyzn), jnp.asarray(c2d),
-              jnp.asarray(np.tile([[640.0, 480.0]], (B, 1)), jnp.float32),
+              jnp.asarray(np.tile([[float(im_w), float(im_h)]], (B, 1)),
+                          jnp.float32),
               jnp.asarray(np.tile(extent, (B, 1))),
               jnp.asarray(np.tile(K, (B, 1, 1))))
     valid = jnp.ones(B, bool)
@@ -102,7 +83,9 @@ def main(argv=None):
 
     rot0 = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (B, 1, 1)))
     trans0 = jnp.asarray(np.tile([[0.0, 0.0, 0.5]], (B, 1)), jnp.float32)
-    R, t = chained(jax.random.PRNGKey(0), rot0, trans0, 1)  # compile+warmup
+    # warmup with the SAME static n as the timed call: n is a static argname,
+    # so a different value would leave the timed program's compile in-window
+    R, t = chained(jax.random.PRNGKey(0), rot0, trans0, args.iters)
     np.asarray(t)
     t0 = time.perf_counter()
     R, t = chained(jax.random.PRNGKey(1), rot0, trans0, args.iters)

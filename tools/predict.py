@@ -45,6 +45,10 @@ def main(argv=None):
     p.add_argument("opts", nargs="*", default=[])
     args = p.parse_args(argv)
 
+    from gdrnet_tpu.utils.device_probe import probe_device
+
+    probe_device()  # the tunnel can hang at backend init; don't bind blind
+
     from gdrnet_tpu.config import load_config, base_config
     from gdrnet_tpu.config.config import Config, merge_dict, apply_opts
     from gdrnet_tpu.data import ObjectModels, load_detections
