@@ -32,10 +32,12 @@ BASELINE_CROPS_PER_SEC = 5000.0
 
 def _probe_device() -> None:
     # watchdogged subprocess probe: the tunnel can hang at backend init
-    # (gdrnet_tpu/utils/device_probe.py)
+    # (gdrnet_tpu/utils/device_probe.py). This is the round's contract
+    # artifact, so ride out a long outage (~35 min window) but hard-fail
+    # rather than bind a hung backend and wedge the calling driver.
     from gdrnet_tpu.utils.device_probe import probe_device
 
-    probe_device()
+    probe_device(max_tries=12, require=True)
 
 
 def _flag_value(name: str) -> str | None:

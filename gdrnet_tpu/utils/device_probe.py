@@ -15,13 +15,23 @@ import sys
 import time
 
 
-def probe_device(max_tries: int = 4, probe_timeout: int = 150) -> None:
-    """Wait until the accelerator answers a tiny matmul before binding this
-    process's jax backend. Skipped when jax is pinned to cpu (tests)."""
+def _pinned_cpu() -> bool:
     import jax
 
     plats = jax.config.jax_platforms or ""
-    if plats.split(",")[0] == "cpu":
+    return plats.split(",")[0] == "cpu"
+
+
+def probe_device(max_tries: int = 4, probe_timeout: int = 150,
+                 require: bool = False) -> None:
+    """Wait until the accelerator answers a tiny matmul before binding this
+    process's jax backend. Skipped when jax is pinned to cpu (tests).
+
+    With require=False (default) a dead tunnel only warns and the caller
+    binds whatever backend jax picks (may hang). require=True raises
+    SystemExit instead — for contract artifacts like bench.py where a fast,
+    clearly-labelled failure beats wedging the calling driver forever."""
+    if _pinned_cpu():
         return  # explicitly pinned to host cpu; nothing to probe
     code = (
         # alarm: the child must die on its own even if this parent is
@@ -50,5 +60,10 @@ def probe_device(max_tries: int = 4, probe_timeout: int = 150) -> None:
               file=sys.stderr)
         if attempt < max_tries:
             time.sleep(30)
+    if require:
+        raise SystemExit(
+            f"accelerator never answered after {max_tries} probes; refusing "
+            "to bind a possibly-hung backend (probe again when the tunnel "
+            "recovers)")
     print("WARNING: accelerator never answered; continuing on whatever "
           "backend jax picks (may hang or be slow)", file=sys.stderr)

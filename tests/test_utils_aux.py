@@ -238,3 +238,36 @@ def test_visibility_masks_bop():
         got_est = np.asarray(estimate_visib_mask_est(
             d_test, d_est, got_gt, delta, visib_mode=mode))
         np.testing.assert_array_equal(got_est, ref_est)
+
+
+def test_device_probe_require_semantics(monkeypatch):
+    """Dead tunnel: require=True raises SystemExit (bench.py contract path),
+    require=False only warns; a live accelerator returns after one probe."""
+    import pytest
+
+    from gdrnet_tpu.utils import device_probe as dp
+
+    monkeypatch.setattr(dp, "_pinned_cpu", lambda: False)
+    monkeypatch.setattr(dp.time, "sleep", lambda s: None)
+
+    class R:
+        def __init__(self, rc, out):
+            self.returncode, self.stdout, self.stderr = rc, out, ""
+
+    calls = []
+    monkeypatch.setattr(dp.subprocess, "run",
+                        lambda *a, **k: calls.append(1) or R(1, ""))
+    with pytest.raises(SystemExit, match="never answered"):
+        dp.probe_device(max_tries=2, probe_timeout=1, require=True)
+    assert len(calls) == 2
+    dp.probe_device(max_tries=2, probe_timeout=1)  # warn-only default
+
+    monkeypatch.setattr(dp.subprocess, "run",
+                        lambda *a, **k: R(0, "PROBE tpu 128.0"))
+    dp.probe_device(max_tries=1, probe_timeout=1, require=True)
+
+    # a cpu fallback inside the probe subprocess is NOT a live accelerator
+    monkeypatch.setattr(dp.subprocess, "run",
+                        lambda *a, **k: R(0, "PROBE cpu 128.0"))
+    with pytest.raises(SystemExit):
+        dp.probe_device(max_tries=1, probe_timeout=1, require=True)
