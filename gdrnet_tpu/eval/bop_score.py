@@ -18,7 +18,9 @@ Supported error types (error matrix, eval_pose_results_more.py:41-94):
 VAL.ERROR_TYPES fails before inference, not after.
 
 `score_results` matches estimates to GT by (scene_id, im_id, obj_id) with
-n_top semantics (N_TOP=1: highest-score estimate per GT object).
+n_top semantics (N_TOP=1: highest-score estimate per GT object); keys with
+several instances of one object assign greedily by translation error in
+estimate-score order (pose_matching.py protocol).
 """
 
 from __future__ import annotations
@@ -148,10 +150,29 @@ def match_estimates_to_gt(results: list[dict], gts: list[dict],
     for key, gt_list in gt_by_key.items():
         ests = sorted(est_by_key.get(key, []), key=lambda e: -e.get("score", 1.0))
         take = len(gt_list) if n_top <= 0 else min(n_top, len(gt_list))
-        for gt, est in zip(gt_list[:take], ests[:take]):
+        targets = list(gt_list[:take])
+        if len(targets) > 1:
+            # multi-instance key: greedy assignment in estimate-score order,
+            # each estimate claiming the unmatched GT with the lowest
+            # translation error (the BOP toolkit matches greedily by the
+            # error value, pose_matching.py:9-91; zip order would pair
+            # instances arbitrarily)
+            unmatched = list(range(len(targets)))
+            for est in ests[:take]:
+                if not unmatched:
+                    break
+                t_est = np.asarray(est["t"], np.float64) / 1000.0
+                j = min(unmatched, key=lambda i: float(np.linalg.norm(
+                    t_est - np.asarray(targets[i]["t"], np.float64))))
+                unmatched.remove(j)
+                pairs.append((est, targets[j]))
+            for i in unmatched:
+                pairs.append((None, targets[i]))
+            continue
+        for gt, est in zip(targets, ests[:take]):
             pairs.append((est, gt))
         # unmatched gts count as failures via the caller's recall denominators
-        for gt in gt_list[len(ests):take]:
+        for gt in targets[len(ests):]:
             pairs.append((None, gt))
     return pairs
 

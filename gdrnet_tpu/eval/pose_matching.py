@@ -5,10 +5,10 @@ matching with per-element error thresholds, unique GT assignment) and
 lib/pysixd/score.py:49-150 (calc_recall / calc_localization_scores — recall
 over targets per object/scene, Hodan et al. ECCV'18 BOP protocol).
 
-`eval.bop_score.score_results` uses a simplified zip-order pairing (exact
-for LM/LM-O/YCB-V where test images contain at most one instance of each
-object); this module is the faithful multi-instance protocol for datasets
-where that assumption breaks.
+`eval.bop_score.score_results` pairs single-instance keys directly and
+multi-instance keys greedily by translation error in estimate-score order
+(this module's protocol with te as the error); this module remains the
+faithful general matcher when per-error-type matching is needed.
 """
 
 from __future__ import annotations

@@ -334,3 +334,45 @@ def test_sym_aware_error_variants(scored_setup):
     assert np.mean(scores["re"]["cube"]) == 1.0        # non-sym unaffected
     assert np.mean(scores["te"]["brick"]) == 1.0
     assert np.mean(scores["teS"]["brick"]) == 1.0
+
+
+def test_multi_instance_greedy_matching():
+    """Two instances of one object in an image: estimates must claim the GT
+    they are nearest to (greedy by translation error in score order, the BOP
+    pose_matching.py protocol), not pair in arbitrary list order."""
+    K = np.eye(3, dtype=np.float32)
+    gts = [
+        {"scene_id": 0, "im_id": 0, "obj_id": 1,
+         "R": np.eye(3, dtype=np.float32), "t": np.array([0.0, 0.0, 0.5],
+                                                         np.float32), "K": K},
+        {"scene_id": 0, "im_id": 0, "obj_id": 1,
+         "R": np.eye(3, dtype=np.float32), "t": np.array([0.2, 0.0, 0.9],
+                                                         np.float32), "K": K},
+    ]
+    # estimates listed in the order that WOULD mispair under zip: the
+    # higher-score estimate sits at the SECOND GT
+    ests = [
+        {"scene_id": 0, "im_id": 0, "obj_id": 1, "score": 0.9,
+         "R": np.eye(3, dtype=np.float32), "t": np.array([200.0, 0.0, 900.0])},
+        {"scene_id": 0, "im_id": 0, "obj_id": 1, "score": 0.8,
+         "R": np.eye(3, dtype=np.float32), "t": np.array([0.0, 0.0, 500.0])},
+    ]
+    pairs = match_estimates_to_gt(ests, gts, n_top=-1)
+    assert len(pairs) == 2
+    for est, gt in pairs:
+        assert est is not None
+        np.testing.assert_allclose(np.asarray(est["t"]) / 1000.0, gt["t"],
+                                   atol=1e-6)
+
+    # 3 GTs, 2 estimates: the unclaimed GT comes back as a miss
+    gts3 = gts + [{"scene_id": 0, "im_id": 0, "obj_id": 1,
+                   "R": np.eye(3, dtype=np.float32),
+                   "t": np.array([-0.3, 0.1, 0.7], np.float32), "K": K}]
+    pairs = match_estimates_to_gt(ests, gts3, n_top=-1)
+    assert sum(1 for e, _ in pairs if e is None) == 1
+    miss_gt = next(g for e, g in pairs if e is None)
+    np.testing.assert_allclose(miss_gt["t"], [-0.3, 0.1, 0.7], atol=1e-6)
+
+    # n_top=1 still takes exactly one target for the key
+    pairs = match_estimates_to_gt(ests, gts, n_top=1)
+    assert len(pairs) == 1
