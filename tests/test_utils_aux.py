@@ -206,6 +206,43 @@ def test_dataset_params_layout(tmp_path):
     os.makedirs(os.path.join(root, "lm", "train_pbr", "000001"))
     assert get_present_scene_ids(sp) == [1, 3]
 
+    # Full-BOP family (dataset_params.py:77-345):
+    # T-LESS defaults: cad models, primesense sensor, per-sensor im_size.
+    mp_t = get_model_params(root, "tless")
+    assert mp_t["model_tpath"].endswith("tless/models_cad/obj_{obj_id:06d}.ply")
+    assert mp_t["symmetric_obj_ids"] == list(range(1, 31))
+    sp_t = get_split_params(root, "tless", "test")
+    assert sp_t["split_type"] == "primesense"
+    assert sp_t["im_size"] == (720, 540)
+    assert sp_t["split_path"].endswith("tless/test_primesense")
+    assert get_split_params(root, "tless", "train")["im_size"] == (400, 400)
+    # HBS (BOP'19 subset) aliases into the hb/ directory but keeps its
+    # own obj/scene subsets and name.
+    mp_h = get_model_params(root, "hbs")
+    assert mp_h["model_tpath"].endswith("hb/models/obj_{obj_id:06d}.ply")
+    assert 2 not in mp_h["obj_ids"] and 33 in mp_h["obj_ids"]
+    sp_h = get_split_params(root, "hbs", "test")
+    assert sp_h["name"] == "hbs"
+    assert sp_h["base_path"].endswith("/hb")
+    assert sp_h["scene_ids"] == [3, 5, 13]
+    assert get_split_params(root, "hb", "val")["scene_ids"] == list(range(1, 14))
+    # ITODD: gray+depth modalities, .tif images, 1280x960.
+    sp_i = get_split_params(root, "itodd", "test")
+    assert sp_i["im_modalities"] == ["gray", "depth"]
+    assert sp_i["gray_tpath"].endswith("gray/{im_id:06d}.tif")
+    assert sp_i["depth_tpath"].endswith("depth/{im_id:06d}.tif")
+    assert sp_i["im_size"] == (1280, 960)
+    # TUD-L train defaults to the 'render' split type.
+    assert get_split_params(root, "tudl", "train")["split_type"] == "render"
+    # IC-BIN has 3 test scenes but 2 train scenes.
+    assert get_split_params(root, "icbin", "test")["scene_ids"] == [1, 2, 3]
+    assert get_split_params(root, "icbin", "train")["scene_ids"] == [1, 2]
+    # ycbvposecnn shares the ycbv directory with PoseCNN's symmetry list.
+    mp_p = get_model_params(root, "ycbvposecnn")
+    assert mp_p["model_tpath"].endswith("ycbv/models/obj_{obj_id:06d}.ply")
+    assert mp_p["symmetric_obj_ids"] == [13, 16, 19, 20, 21]
+    assert get_split_params(root, "ycbvposecnn", "test")["name"] == "ycbvposecnn"
+
 
 def test_visibility_masks_bop():
     """estimate_visib_mask_gt/est vs a numpy reimplementation of
