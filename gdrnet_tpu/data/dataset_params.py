@@ -134,7 +134,15 @@ def get_model_params(datasets_path: str, dataset_name: str,
 
 def _scene_ids(dataset_name: str, split: str, split_type: str | None):
     """Scene ids per split (reference :186-344). None → enumerate what is
-    on disk via get_present_scene_ids()."""
+    on disk via get_present_scene_ids().
+
+    For every `pbr` split we return None (the reference does this for ycbv
+    pbr, :333; its per-dataset lists predate the BOP train_pbr releases and
+    would resolve itodd/hb pbr to [] and lm pbr to 1..15 when the disk
+    layout is 000000-000049 — disk enumeration is correct for all of them).
+    """
+    if split_type == "pbr":
+        return None
     if dataset_name == "lm":
         return list(range(1, 16))
     if dataset_name == "lmo":

@@ -105,18 +105,10 @@ def do_test(cfg, model, variables, models, records: list[dict],
     # process drives every local chip by sharding the static bucket over a
     # 1-D mesh — params replicated, batch dim sharded (GSPMD). The reference
     # needs one DDP process per GPU for the same coverage (engine.py:121-142).
-    import jax
+    from gdrnet_tpu.parallel import local_dp_setup, shard_batch
 
-    n_want = int(cfg.TEST.get("LOCAL_DEVICES", -1) or -1)
-    avail = len(jax.local_devices())
-    n_want = avail if n_want < 0 else max(1, min(n_want, avail))
-    n_loc = max(d for d in range(1, n_want + 1) if bucket % d == 0)
-    mesh = None
-    if n_loc > 1:
-        from gdrnet_tpu.parallel import make_mesh, replicated_sharding, shard_batch
-
-        mesh = make_mesh(n_loc)
-        variables = jax.device_put(variables, replicated_sharding(mesh))
+    mesh, variables = local_dp_setup(
+        variables, bucket, cfg.TEST.get("LOCAL_DEVICES", -1))
     predict = make_predict_step(model, mesh=mesh, with_maps=use_pnp)
     int8 = bool(cfg.TEST.get("INT8"))
 
@@ -187,64 +179,87 @@ def do_test(cfg, model, variables, models, records: list[dict],
     import threading as _threading
 
     buckets_q: _queue.Queue = _queue.Queue(maxsize=2)
+    cancel = _threading.Event()
+
+    def _put(item) -> bool:
+        while not cancel.is_set():
+            try:
+                buckets_q.put(item, timeout=0.5)
+                return True
+            except _queue.Full:
+                continue
+        return False
 
     def _producer():
         try:
             for start_ in range(0, len(flat), bucket):
+                if cancel.is_set():
+                    return
                 chunk_ = flat[start_:start_ + bucket]
                 batch_ = mapper.map_flat([(p, K, d) for p, K, d, _ in chunk_])
-                buckets_q.put((start_, chunk_, batch_))
-            buckets_q.put(None)
+                if not _put((start_, chunk_, batch_)):
+                    return
+            _put(None)
         except BaseException as e:  # surface mapper errors in the main loop
-            buckets_q.put(e)
+            _put(e)
 
-    _threading.Thread(target=_producer, daemon=True).start()
-    while True:
-        item = buckets_q.get()
-        if item is None:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        start, chunk, batch = item
-        t0 = time.perf_counter()
-        dev_batch = {k: v for k, v in batch.items()
-                     if k not in ("valid", "scores", "obj_ids", "im_hws")}
-        if int8:  # calibrate activation scales on the first bucket
-            from gdrnet_tpu.models.quantize import calibrate_act_scales
+    producer = _threading.Thread(target=_producer, daemon=True)
+    producer.start()
+    try:
+        while True:
+            item = buckets_q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            start, chunk, batch = item
+            t0 = time.perf_counter()
+            dev_batch = {k: v for k, v in batch.items()
+                         if k not in ("valid", "scores", "obj_ids", "im_hws")}
+            if int8:  # calibrate activation scales on the first bucket
+                from gdrnet_tpu.models.quantize import calibrate_act_scales
 
-            scales = calibrate_act_scales(model, variables, [dev_batch])
-            predict = make_predict_step(model, mesh=mesh, with_maps=use_pnp,
-                                        int8_scales=scales)
-            int8 = False
-        if mesh is not None:
-            dev_batch = shard_batch(dev_batch, mesh)
-        out = predict(variables, dev_batch)
-        if use_pnp:
-            # TEST.DEVICE_PNP solves the whole bucket's RANSAC-EPnP/LM as one
-            # XLA program; otherwise the reference's per-ROI cv2 loop runs on
-            # host (gdrn_evaluator.py:187-435). Either way refinement is pose
-            # computation, so it lands in the compute window.
-            rot, trans = refine_bucket_poses(
-                cfg, models, batch, dev_batch, out, seed=start)
-        else:
-            rot = np.array(out["rot"])
-            trans = np.array(out["trans"])
-        if start > 0:  # warmup-excluded timing (gdrn_evaluator.py:545-560)
-            total_compute += time.perf_counter() - t0
-            n_buckets += 1
+                scales = calibrate_act_scales(model, variables, [dev_batch])
+                predict = make_predict_step(
+                    model, mesh=mesh, with_maps=use_pnp, int8_scales=scales)
+                int8 = False
+            if mesh is not None:
+                dev_batch = shard_batch(dev_batch, mesh)
+            out = predict(variables, dev_batch)
+            if use_pnp:
+                # TEST.DEVICE_PNP solves the whole bucket's RANSAC-EPnP/LM
+                # as one XLA program; otherwise the reference's per-ROI cv2
+                # loop runs on host (gdrn_evaluator.py:187-435). Either way
+                # refinement is pose computation, so it lands in the compute
+                # window.
+                rot, trans = refine_bucket_poses(
+                    cfg, models, batch, dev_batch, out, seed=start)
+            else:
+                rot = np.array(out["rot"])
+                trans = np.array(out["trans"])
+            if start > 0:  # warmup-excluded timing (gdrn_evaluator.py:545)
+                total_compute += time.perf_counter() - t0
+                n_buckets += 1
 
-        t1 = time.perf_counter()
-        for j, (_, _, _, meta_j) in enumerate(chunk):
-            obj_id = int(batch["obj_ids"][j])
-            bop_results.append({
-                "scene_id": meta_j["scene_id"], "im_id": meta_j["im_id"],
-                "obj_id": obj_id, "score": float(batch["scores"][j]),
-                "R": rot[j], "t": trans[j] * 1000.0,
-                "time": (time.perf_counter() - t0)})
-            meta_j["ests"].append({"R": rot[j].copy(), "t": trans[j].copy(),
-                                   "score": float(batch["scores"][j])})
-        if start > 0:
-            total_process += time.perf_counter() - t1
+            t1 = time.perf_counter()
+            for j, (_, _, _, meta_j) in enumerate(chunk):
+                obj_id = int(batch["obj_ids"][j])
+                bop_results.append({
+                    "scene_id": meta_j["scene_id"], "im_id": meta_j["im_id"],
+                    "obj_id": obj_id, "score": float(batch["scores"][j]),
+                    "R": rot[j], "t": trans[j] * 1000.0,
+                    "time": (time.perf_counter() - t0)})
+                meta_j["ests"].append(
+                    {"R": rot[j].copy(), "t": trans[j].copy(),
+                     "score": float(batch["scores"][j])})
+            if start > 0:
+                total_process += time.perf_counter() - t1
+    finally:
+        # unblock + stop the producer if we exit via an exception mid-eval,
+        # so repeated do_test calls in one process don't accumulate wedged
+        # threads pinning mapped buckets
+        cancel.set()
+        producer.join(timeout=10)
 
     # est<->gt matching per (image, object) group: best-score estimate first,
     # each takes the remaining GT instance nearest in translation (greedy,

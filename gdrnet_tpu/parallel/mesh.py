@@ -84,6 +84,30 @@ def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def local_dp_setup(variables, bucket: int, n_want=-1):
+    """Local data-parallel serving/eval setup (TEST.LOCAL_DEVICES).
+
+    Picks the largest divisor of `bucket` no greater than the requested
+    device count, builds a 1-D data mesh over this process's ADDRESSABLE
+    devices (multi-host safe: each eval/serving shard runs on its own
+    host's chips — a mesh over jax.devices() would include other hosts'
+    non-addressable devices and device_put would fail on ranks > 0), and
+    replicates `variables` onto it.
+
+    Returns (mesh, variables); mesh is None when only one device is used
+    (callers then run un-sharded, exactly as before).
+    """
+    n_want = int(n_want if n_want is not None else -1) or -1
+    avail = jax.local_devices()
+    n = len(avail) if n_want < 0 else max(1, min(n_want, len(avail)))
+    n_loc = max(d for d in range(1, n + 1) if bucket % d == 0)
+    if n_loc <= 1:
+        return None, variables
+    mesh = Mesh(np.asarray(avail[:n_loc]), ("data",))
+    variables = jax.device_put(variables, replicated_sharding(mesh))
+    return mesh, variables
+
+
 def local_batch_size(global_batch: int, mesh: Mesh, axis_name: str = "data") -> int:
     n = mesh.shape[axis_name]
     if global_batch % n != 0:

@@ -22,17 +22,21 @@ def _pinned_cpu() -> bool:
     return plats.split(",")[0] == "cpu"
 
 
-def probe_device(max_tries: int = 4, probe_timeout: int = 150,
+def probe_device(max_tries: int | None = None, probe_timeout: int = 150,
                  require: bool = False) -> None:
     """Wait until the accelerator answers a tiny matmul before binding this
     process's jax backend. Skipped when jax is pinned to cpu (tests).
 
-    With require=False (default) a dead tunnel only warns and the caller
-    binds whatever backend jax picks (may hang). require=True raises
-    SystemExit instead — for contract artifacts like bench.py where a fast,
-    clearly-labelled failure beats wedging the calling driver forever."""
+    With require=False (default) a dead tunnel pins THIS process to host
+    cpu — slow but alive, never wedged on a hung runtime — after a short
+    retry window (2 tries). require=True raises SystemExit after a longer
+    window (4 tries) — for contract artifacts like bench.py where a fast,
+    clearly-labelled failure beats either wedging the calling driver or
+    silently benchmarking the host."""
     if _pinned_cpu():
         return  # explicitly pinned to host cpu; nothing to probe
+    if max_tries is None:
+        max_tries = 4 if require else 2
     code = (
         # alarm: the child must die on its own even if this parent is
         # SIGTERMed mid-probe (an orphaned hung client can wedge the tunnel
@@ -65,5 +69,11 @@ def probe_device(max_tries: int = 4, probe_timeout: int = 150,
             f"accelerator never answered after {max_tries} probes; refusing "
             "to bind a possibly-hung backend (probe again when the tunnel "
             "recovers)")
-    print("WARNING: accelerator never answered; continuing on whatever "
-          "backend jax picks (may hang or be slow)", file=sys.stderr)
+    # Binding the unanswered backend could hang this process forever (the
+    # runtime blocks the GIL); pin to host cpu instead so the run stays
+    # alive — the documented fallback ("work on CPU and retry later").
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    print("WARNING: accelerator never answered; pinned this process to "
+          "host cpu (re-run when the tunnel recovers)", file=sys.stderr)

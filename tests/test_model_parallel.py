@@ -126,3 +126,29 @@ def test_resolve_mesh_spec_honors_mesh_shape_cap():
         cfg.PARALLEL.MESH_SHAPE = (2,)
         cfg.PARALLEL.MODEL_PARALLEL = 4
         resolve_mesh_spec(cfg, ims_per_batch=8, n_avail=8)
+
+
+def test_local_dp_setup():
+    from gdrnet_tpu.parallel import local_dp_setup
+
+    variables = {"params": {"w": jnp.ones((4, 4))}}
+    # bucket divisible by all 8 virtual devices -> full local mesh
+    mesh, v = local_dp_setup(variables, bucket=48, n_want=-1)
+    assert mesh is not None and dict(mesh.shape) == {"data": 8}
+    # mesh devices must be ADDRESSABLE (multi-host safety contract)
+    local = set(jax.local_devices())
+    assert all(d in local for d in mesh.devices.flat)
+    assert v["params"]["w"].sharding.is_fully_replicated
+
+    # largest divisor of the bucket wins: 36 % 8 != 0 -> 6 devices
+    mesh6, _ = local_dp_setup(variables, bucket=36, n_want=-1)
+    assert dict(mesh6.shape) == {"data": 6}
+
+    # explicit single device (TEST.LOCAL_DEVICES=1) -> unsharded path
+    mesh1, v1 = local_dp_setup(variables, bucket=48, n_want=1)
+    assert mesh1 is None and v1 is variables
+    # 0/None coerce to "all" (config default semantics)
+    mesh0, _ = local_dp_setup(variables, bucket=48, n_want=0)
+    assert mesh0 is not None and dict(mesh0.shape) == {"data": 8}
+    meshn, _ = local_dp_setup(variables, bucket=48, n_want=None)
+    assert meshn is not None and dict(meshn.shape) == {"data": 8}

@@ -194,6 +194,12 @@ def test_dataset_params_layout(tmp_path):
         "lm/train_pbr/{scene_id:06d}/rgb/{im_id:06d}.jpg")
     assert sp["scene_gt_tpath"].endswith(
         "lm/train_pbr/{scene_id:06d}/scene_gt.json")
+    # every pbr split enumerates scenes on disk (BOP ships 000000-000049)
+    assert sp["scene_ids"] is None
+    assert get_split_params(root, "itodd", "train",
+                            split_type="pbr")["scene_ids"] is None
+    assert get_split_params(root, "hb", "train",
+                            split_type="pbr")["scene_ids"] is None
     sp_test = get_split_params(root, "lmo", "test")
     assert sp_test["scene_ids"] == [2]
     assert sp_test["depth_range"] == (346.31, 1499.84)
@@ -297,7 +303,15 @@ def test_device_probe_require_semantics(monkeypatch):
     with pytest.raises(SystemExit, match="never answered"):
         dp.probe_device(max_tries=2, probe_timeout=1, require=True)
     assert len(calls) == 2
-    dp.probe_device(max_tries=2, probe_timeout=1)  # warn-only default
+    # warn-only default pins THIS process to host cpu instead of binding a
+    # possibly-hung backend
+    import jax
+
+    pins = []
+    monkeypatch.setattr(jax.config, "update",
+                        lambda k, v: pins.append((k, v)))
+    dp.probe_device(max_tries=2, probe_timeout=1)
+    assert pins == [("jax_platforms", "cpu")]
 
     monkeypatch.setattr(dp.subprocess, "run",
                         lambda *a, **k: R(0, "PROBE tpu 128.0"))

@@ -79,19 +79,11 @@ def main(argv=None):
     # local data-parallel serving (TEST.LOCAL_DEVICES, default all local
     # chips): shard each bucket over a 1-D mesh, params replicated — same
     # semantics as engine/tester.do_test
-    import jax
+    from gdrnet_tpu.parallel import local_dp_setup, shard_batch
 
     bucket = int(cfg.TEST.ROI_BATCH_SIZE)
-    n_want = int(cfg.TEST.get("LOCAL_DEVICES", -1) or -1)
-    avail = len(jax.local_devices())
-    n_want = avail if n_want < 0 else max(1, min(n_want, avail))
-    n_loc = max(d for d in range(1, n_want + 1) if bucket % d == 0)
-    mesh = None
-    if n_loc > 1:
-        from gdrnet_tpu.parallel import make_mesh, replicated_sharding, shard_batch
-
-        mesh = make_mesh(n_loc)
-        variables = jax.device_put(variables, replicated_sharding(mesh))
+    mesh, variables = local_dp_setup(
+        variables, bucket, cfg.TEST.get("LOCAL_DEVICES", -1))
     # TEST.USE_PNP=True (+TEST.PNP_TYPE / TEST.DEVICE_PNP) on the CLI opts
     # refines net poses from the decoded geometry maps, same as do_test
     use_pnp = bool(cfg.TEST.USE_PNP)
