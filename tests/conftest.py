@@ -9,7 +9,14 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    flags += " --xla_force_host_platform_device_count=8"
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # XLA CPU collectives abort the process (F-level) if all device threads
+    # don't reach a rendezvous within 40s; on a loaded 1-core host the 8
+    # virtual device threads can easily be scheduled further apart than that.
+    flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=600"
+              " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120")
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 

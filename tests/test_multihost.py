@@ -153,7 +153,12 @@ def test_two_process_multihost(tmp_path):
         f.write(_WORKER)
 
     env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=1"
+        # two processes sharing few cores can miss XLA's default 40s
+        # collective rendezvous window; that's an F-abort, not an error
+        " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120")
 
     # 1-process baseline first: populates the compilation cache
     p = _run(worker_path, "none", -1, outdir, fixture_root, cache_dir, env)
