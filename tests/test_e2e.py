@@ -254,3 +254,31 @@ def test_train_preemption_checkpoint(fixture_env, tmp_path):
     # resume restores the exact step
     restored, start = mgr.resume_or_load(state, resume=True)
     assert start == step
+
+
+def test_graft_entry_forward_contract():
+    """Driver contract: `entry()` returns (fn, example_args) that jit-lowers
+    and compiles single-device (the driver compile-checks exactly this)."""
+    import jax
+
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    lowered = jax.jit(fn).lower(*args)
+    rot_info, trans_info = jax.tree.leaves(
+        lowered.out_info, is_leaf=lambda x: hasattr(x, "shape"))
+    assert tuple(rot_info.shape) == (8, 3, 3)
+    assert tuple(trans_info.shape) == (8, 3)
+    lowered.compile()
+
+
+def test_graft_entry_dryrun_multichip_inprocess():
+    """Driver contract: `dryrun_multichip(8)` must pass when imported into a
+    process that already has >=8 devices (round-1 regression: the import-path
+    call assumed the CLI had pre-provisioned the virtual mesh)."""
+    import jax
+
+    import __graft_entry__
+
+    assert len(jax.devices()) >= 8  # conftest provisions the virtual mesh
+    __graft_entry__.dryrun_multichip(8)
