@@ -54,7 +54,7 @@ cfg.INPUT.DZI_TYPE = "none"  # train crops == eval crops (overfit check)
 
 TOTAL = 800
 from gdrnet_tpu.data.mapper import collate
-# the whole fixture dataset = 12 ROI samples: pre-map with fixed DZI per
+# the whole fixture dataset = 2*N_IMAGES ROI samples: pre-map with fixed DZI per
 # sample, upload ONCE (the tunnel's host->device bandwidth dominates
 # otherwise), train on the device-resident batch. With --device-preprocess
 # the raw frames go up instead and the GT tensors come out of the XLA
