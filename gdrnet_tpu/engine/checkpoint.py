@@ -84,6 +84,113 @@ def load_variables_any(cfg, path: str) -> dict:
     return load_variables_for_inference(path)
 
 
+def _merge_subtree(dst: dict, src: dict, path: str = "") -> dict:
+    """Copy `src` leaves into a copy of `dst`, requiring every src key to
+    exist in dst with the same shape (loud failure beats a silently
+    random backbone)."""
+    import numpy as np
+
+    out = dict(dst)
+    for k, v in src.items():
+        here = f"{path}/{k}" if path else k
+        if k not in out:
+            raise KeyError(f"pretrained key {here} not in model tree "
+                           f"(have: {sorted(out)})")
+        if isinstance(v, dict):
+            out[k] = _merge_subtree(out[k], v, here)
+        else:
+            v = np.asarray(v)
+            if tuple(out[k].shape) != tuple(v.shape):
+                raise ValueError(f"shape mismatch at {here}: model "
+                                 f"{tuple(out[k].shape)} vs pretrained "
+                                 f"{tuple(v.shape)}")
+            import jax.numpy as jnp
+
+            out[k] = jnp.asarray(v, out[k].dtype)
+    return out
+
+
+def _resolve_pretrained(spec: str) -> str:
+    """BACKBONE.PRETRAINED value -> local .pth path. The reference passes
+    "torchvision://resnet34" to mmcv which downloads from the zoo
+    (GDRN.py:713-721); this environment has zero egress, so torchvision://
+    resolves only against the local torch hub cache."""
+    if spec.startswith("torchvision://"):
+        import glob
+
+        name = spec.split("://", 1)[1]
+        root = os.environ.get("TORCH_HOME",
+                              osp.expanduser("~/.cache/torch"))
+        hits = sorted(glob.glob(osp.join(root, "hub", "checkpoints",
+                                         f"{name}*.pth")))
+        if not hits:
+            raise FileNotFoundError(
+                f"{spec}: no cached weights under {root}/hub/checkpoints "
+                "(offline environment) — place the torchvision state_dict "
+                ".pth locally and set MODEL.CDPN.BACKBONE.PRETRAINED to "
+                "its path")
+        return hits[0]
+    return spec
+
+
+def init_model_weights(cfg, state: GDRNTrainState, logger=None
+                       ) -> GDRNTrainState:
+    """Initial weights for a fresh run (start_iter == 0).
+
+    Reference semantics: the checkpointer loads cfg.MODEL.WEIGHTS when set
+    (engine.py:198-204); when MODEL.WEIGHTS=="" the backbone alone gets
+    official ImageNet weights from BACKBONE.PRETRAINED (GDRN.py:713-721),
+    else "Randomly initialize weights for backbone!" (:717).
+    """
+    weights = cfg.MODEL.WEIGHTS
+    if weights:
+        v = load_variables_any(cfg, weights)
+        state = state.replace(params=v["params"],
+                              batch_stats=v.get("batch_stats",
+                                                state.batch_stats))
+        if logger:
+            logger.info(f"loaded initial model weights from {weights}")
+        return state
+    pretrained = cfg.MODEL.CDPN.BACKBONE.get("PRETRAINED", "")
+    if pretrained:
+        from gdrnet_tpu.utils.torch_convert import load_torchvision_resnet
+
+        path = _resolve_pretrained(pretrained)
+        bb_params, bb_stats = load_torchvision_resnet(path)
+
+        # full-coverage check: a depth mismatch (e.g. resnet18 weights into
+        # a resnet34 tree) merges cleanly key-by-key but leaves whole blocks
+        # random — the silent-partial-init failure mode. Require the
+        # pretrained tree to cover every backbone leaf.
+        def _leaves(tree, prefix=""):
+            for k, v in tree.items():
+                p = f"{prefix}/{k}" if prefix else k
+                if isinstance(v, dict):
+                    yield from _leaves(v, p)
+                else:
+                    yield p
+
+        have = set(_leaves(bb_params["backbone"]))
+        need = set(_leaves(state.params["backbone"]))
+        if need - have:
+            raise KeyError(
+                f"pretrained backbone {path} does not cover the model's "
+                f"backbone (missing {sorted(need - have)[:5]}... "
+                f"{len(need - have)} leaves) — depth mismatch?")
+        params = _merge_subtree(state.params, bb_params)
+        stats = state.batch_stats
+        if stats:
+            stats = _merge_subtree(stats, bb_stats)
+        state = state.replace(params=params, batch_stats=stats)
+        if logger:
+            logger.info(f"initialized backbone from ImageNet weights "
+                        f"{path} (BACKBONE.PRETRAINED)")
+        return state
+    if logger:
+        logger.warning("Randomly initialize weights for backbone!")
+    return state
+
+
 def load_params_for_eval(ckpt_dir: str, state: GDRNTrainState) -> GDRNTrainState:
     """Load the newest checkpoint for eval-only runs (reference
     main_gdrn.py:120-122)."""

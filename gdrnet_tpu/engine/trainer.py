@@ -238,6 +238,14 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
     ckpt = CheckpointManager(osp.join(out_dir, "ckpt"),
                              max_to_keep=cfg.SOLVER.MAX_TO_KEEP)
     state, start_iter = ckpt.resume_or_load(state, resume=resume)
+    if start_iter == 0:
+        # fresh run: MODEL.WEIGHTS full init, else ImageNet backbone init
+        # from BACKBONE.PRETRAINED, else loud random-init warning
+        # (reference engine.py:198-204 + GDRN.py:713-721)
+        from gdrnet_tpu.engine.checkpoint import init_model_weights
+
+        state = jax.device_put(init_model_weights(cfg, state, logger=logger),
+                               replicated_sharding(mesh))
 
     ev = EventLog()
     # file/console writers on the main process only (reference

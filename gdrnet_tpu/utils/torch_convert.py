@@ -242,3 +242,30 @@ def load_torch_checkpoint(path: str, **kwargs) -> tuple[dict, dict]:
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model", ckpt.get("state_dict", ckpt))
     return convert_torch_state_dict(sd, **kwargs)
+
+
+def convert_torchvision_resnet(sd: dict) -> tuple[dict, dict]:
+    """Raw torchvision-format resnet state_dict -> ({"backbone": params},
+    {"backbone": batch_stats}).
+
+    This is the format of the official ImageNet weights the reference loads
+    into the backbone when MODEL.WEIGHTS=="" (GDRN.py:713-721 via mmcv
+    `load_checkpoint(model, "torchvision://resnetNN")`): keys `conv1.*`,
+    `bn1.*`, `layer{1..4}.{i}.conv{1..3}/bn{1..3}/downsample.{0,1}.*` with
+    NO `backbone.` prefix, plus the ImageNet classifier `fc.*` which the
+    trunk drops (reference resnet_backbone.py keeps layers 0..4 only)."""
+    trunk = {f"backbone.{k}": v for k, v in sd.items()
+             if not k.split(".")[0].startswith("fc")}
+    return convert_torch_state_dict(trunk)
+
+
+def load_torchvision_resnet(path: str) -> tuple[dict, dict]:
+    """Load a torchvision resnet .pth (bare state_dict or wrapped) and
+    convert to backbone (params, batch_stats) subtrees."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt.get("state_dict", ckpt)) \
+        if isinstance(ckpt, dict) and not any(
+            k.startswith(("conv1", "layer")) for k in ckpt) else ckpt
+    return convert_torchvision_resnet(sd)

@@ -379,3 +379,98 @@ def test_pnp_net_parity(rng):
     # converter to permute fc1 rows; verified here
     np.testing.assert_allclose(np.asarray(got_r), want_r.numpy(), atol=5e-4)
     np.testing.assert_allclose(np.asarray(got_t), want_t.numpy(), atol=5e-4)
+
+
+# ---- ImageNet backbone init (reference GDRN.py:713-721: official
+# torchvision weights load into the backbone when MODEL.WEIGHTS=="") ----
+
+
+def test_torchvision_resnet_convert_parity(rng):
+    """Raw torchvision-format state_dict (no backbone. prefix, with fc.*)
+    converts and matches the torch forward exactly."""
+    from gdrnet_tpu.utils.torch_convert import convert_torchvision_resnet
+
+    tb = _randomize(TorchBackbone(), seed=7).eval()
+    sd = dict(tb.state_dict())
+    # torchvision checkpoints carry the ImageNet classifier; must be dropped
+    sd["fc.weight"] = torch.randn(1000, 512)
+    sd["fc.bias"] = torch.randn(1000)
+    params, stats = convert_torchvision_resnet(sd)
+
+    x = rng.rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        want = tb(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    fb = ResNetBackbone(depth=18)
+    got = fb.apply({"params": params["backbone"],
+                    "batch_stats": stats["backbone"]}, jnp.asarray(x),
+                   train=False)
+    np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 3, 1, 2)),
+                               want, atol=2e-4)
+
+
+class _FakeState:
+    """Minimal stand-in exposing the .params/.batch_stats/.replace surface
+    init_model_weights consumes (a full GDRNTrainState needs a device batch)."""
+
+    def __init__(self, params, batch_stats):
+        self.params, self.batch_stats = params, batch_stats
+
+    def replace(self, **kw):
+        return _FakeState(kw.get("params", self.params),
+                          kw.get("batch_stats", self.batch_stats))
+
+
+def test_init_model_weights_pretrained_backbone(tmp_path, rng):
+    """BACKBONE.PRETRAINED path: backbone subtree replaced from the .pth,
+    everything else untouched; bad shapes fail loudly; empty PRETRAINED
+    warns 'Randomly initialize weights for backbone!' (reference :717)."""
+    import logging
+
+    from gdrnet_tpu.config import base_config
+    from gdrnet_tpu.engine.checkpoint import init_model_weights
+
+    tb = _randomize(TorchBackbone(), seed=9).eval()
+    pth = str(tmp_path / "resnet18_imagenet.pth")
+    torch.save(tb.state_dict(), pth)
+
+    fb = ResNetBackbone(depth=18)
+    vs = fb.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
+    head_kernel = jnp.asarray(rng.randn(3, 3, 4, 4), jnp.float32)
+    state = _FakeState(
+        params={"backbone": vs["params"],
+                "rot_head": {"Conv_0": {"kernel": head_kernel}}},
+        batch_stats={"backbone": vs["batch_stats"]})
+
+    cfg = base_config()
+    bb = cfg.MODEL.CDPN.BACKBONE
+    bb.NUM_LAYERS = 18
+    bb.PRETRAINED = pth
+    logger = logging.getLogger("test_init_weights")
+    out = init_model_weights(cfg, state, logger=logger)
+
+    want = np.transpose(tb.state_dict()["conv1.weight"].numpy(), (2, 3, 1, 0))
+    np.testing.assert_allclose(
+        np.asarray(out.params["backbone"]["conv1"]["kernel"]), want, atol=0)
+    np.testing.assert_allclose(
+        np.asarray(out.batch_stats["backbone"]["bn1"]["mean"]),
+        tb.state_dict()["bn1.running_mean"].numpy(), atol=0)
+    # non-backbone params untouched
+    assert out.params["rot_head"]["Conv_0"]["kernel"] is head_kernel
+
+    # random-init warning path (PRETRAINED empty)
+    bb.PRETRAINED = ""
+    import unittest.mock as mock
+
+    with mock.patch.object(logger, "warning") as warn:
+        out2 = init_model_weights(cfg, state, logger=logger)
+    assert out2 is state
+    assert "Randomly initialize weights for backbone" in warn.call_args[0][0]
+
+    # depth mismatch (resnet18 weights into a resnet34 tree) fails loudly
+    fb34 = ResNetBackbone(depth=34)
+    vs34 = fb34.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
+    state34 = _FakeState(params={"backbone": vs34["params"]},
+                         batch_stats={"backbone": vs34["batch_stats"]})
+    bb.PRETRAINED = pth
+    with pytest.raises(KeyError):
+        init_model_weights(cfg, state34, logger=logger)
