@@ -172,4 +172,18 @@ def resolve(name: str, data_root: str = "datasets/BOP_DATASETS",
                             for ln in f if ln.strip()}
                 recs = [r for r in recs if (r["scene_id"], r["im_id"]) in keep]
         return meta, recs
+    # Self-describing datasets: "<dir>_train"/"<dir>_test" where
+    # <data_root>/<dir>/meta.json exists (tools/gen_scale_dataset.py layout).
+    # Train images are synthetic renders -> img_type "syn" so
+    # COLOR_AUG_SYN_ONLY applies; test follows the real-image protocol.
+    for suffix, img_type in (("_train", "syn"), ("_test", "real")):
+        if name.endswith(suffix):
+            root_dir = _osp.join(data_root, name[: -len(suffix)])
+            if _osp.isfile(_osp.join(root_dir, "meta.json")):
+                from gdrnet_tpu.data.ref_meta import meta_from_json
+
+                meta = meta_from_json(root_dir)
+                recs = load_bop_scene_dicts(meta, suffix[1:], visib_thr=visib_thr,
+                                            img_type=img_type)
+                return meta, recs
     raise KeyError(f"Cannot resolve dataset name: {name}")

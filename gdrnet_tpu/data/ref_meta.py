@@ -104,6 +104,22 @@ def _load_json(path: str) -> dict:
         return json.load(f)
 
 
+def meta_from_json(root_dir: str) -> DatasetMeta:
+    """DatasetMeta from a self-describing dataset dir: <root>/meta.json as
+    written by tools/gen_scale_dataset.py (keys: name, objects, id2obj,
+    diameters [m], cam_K, width, height, sym_objects). The analogue of a
+    hand-written ref/<ds>.py module for generated datasets."""
+    m = _load_json(osp.join(root_dir, "meta.json"))
+    return DatasetMeta(
+        name=m.get("name", osp.basename(root_dir.rstrip("/"))),
+        objects=list(m["objects"]),
+        id2obj={int(k): v for k, v in m["id2obj"].items()},
+        diameters_by_name={k: float(v) for k, v in m["diameters"].items()},
+        camera_matrix=np.asarray(m["cam_K"], np.float64).reshape(3, 3),
+        width=int(m.get("width", 640)), height=int(m.get("height", 480)),
+        data_root=root_dir, sym_objects=list(m.get("sym_objects", [])))
+
+
 def get_meta(name: str, data_root: str = "datasets/BOP_DATASETS") -> DatasetMeta:
     key = name.lower()
     if key in ("lm", "lm_full", "lm13"):

@@ -424,6 +424,120 @@ def render_xyz_roi_many(verts, faces, Ks, Rs, ts, height: int, width: int,
     return out
 
 
+@_lru_cache(maxsize=32)
+def _batched_window_phong_xyz(tile: int, chunk: int):
+    """jitted vmapped single-pass phong+xyz window render. One rasterization
+    emits 12 attribute channels per pixel — camera-space normal (3), camera-
+    space position (3), material (3), object-frame vertex (3) — and the phong
+    shading (shader/cad_shader.frag model, same as render_phong) is applied
+    on device. Cached per (tile, chunk) so a whole dataset generation run
+    compiles ONCE per tile regardless of object/pose count (meshes must be
+    padded to one shared vertex count)."""
+
+    def one(v, attrs, faces_p, K, R, t, org, light_pos, amb, dif, spec):
+        depth, amap = rasterize_attr(v, attrs, faces_p, K, R, t,
+                                     height=tile, width=tile, chunk=chunk,
+                                     origin=(org[0], org[1]))
+
+        def _unit(x):
+            return x / jnp.maximum(
+                jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+        n = _unit(amap[..., 0:3])
+        p = amap[..., 3:6]
+        c = amap[..., 6:9]
+        xyz = amap[..., 9:12]
+        l = _unit(light_pos[None, None] - p)
+        vdir = _unit(-p)
+        ndl = jnp.maximum(jnp.sum(n * l, -1, keepdims=True), 0.0)
+        refl = 2.0 * ndl * n - l
+        rdv = jnp.maximum(jnp.sum(refl * vdir, -1, keepdims=True), 0.0)
+        rgb = jnp.clip(c * (amb + dif * ndl + spec * rdv), 0.0, 1.0)
+        hit = depth[..., None] > 0
+        return depth, jnp.where(hit, rgb, 0.0), jnp.where(hit, xyz, 0.0)
+
+    return jax.jit(jax.vmap(one, in_axes=(None, 0, None, 0, 0, 0, 0,
+                                          0, 0, 0, 0)))
+
+
+def render_phong_xyz_roi_many(verts, faces, Ks, Rs, ts, height: int,
+                              width: int, tile: int = 128, batch: int = 32,
+                              chunk: int = 1024, colors=None,
+                              light_pos=None, ambient=None, diffuse=None,
+                              specular=None, normals=None,
+                              on_misfit: str = "raise"):
+    """Batched windowed phong+XYZ renders of ONE mesh under many poses — the
+    dataset generator's hot loop (tools/gen_scale_dataset.py). One
+    rasterization pass per pose yields both the shaded color (what the
+    reference's GL SceneRenderer draws, lib/meshrenderer/scenerenderer.py:
+    70-140) and the object-coordinate XYZ GT (what tools/lm/
+    lm_pbr_1_gen_xyz_crop.py re-renders for) — the GL path needs two passes.
+
+    Ks [N,3,3], Rs [N,3,3], ts [N,3]; per-pose lighting arrays light_pos
+    [N,3] / ambient / diffuse / specular [N] (defaults = render_phong's
+    constants). Returns (list of N (depth, rgb, xyz, (ox, oy)) np tuples,
+    fitted_indices) when on_misfit="skip", else the list alone (raises on
+    misfit)."""
+    verts32 = np.asarray(verts, np.float32)
+    normals = vertex_normals(verts32, faces) if normals is None else normals
+    mat = (np.broadcast_to(_CAD_MATERIAL, (verts32.shape[0], 3))
+           if colors is None else np.asarray(colors, np.float32))
+    Ks = np.asarray(Ks, np.float32)
+    Rs = np.asarray(Rs, np.float32)
+    ts = np.asarray(ts, np.float32)
+    N = Rs.shape[0]
+    if light_pos is None:
+        light_pos = np.broadcast_to(
+            np.array([400.0, 400.0, 400.0], np.float32), (N, 3))
+    ambient = np.full(N, 0.4, np.float32) if ambient is None else np.asarray(ambient, np.float32)
+    diffuse = np.full(N, 0.8, np.float32) if diffuse is None else np.asarray(diffuse, np.float32)
+    specular = np.full(N, 0.3, np.float32) if specular is None else np.asarray(specular, np.float32)
+    light_pos = np.asarray(light_pos, np.float32)
+
+    origins = np.zeros((N, 2), np.float32)
+    too_big = []
+    for i in range(N):
+        org = window_origin(verts32, Ks[i], Rs[i], ts[i], height, width, tile)
+        if org is None:
+            too_big.append(i)
+        else:
+            origins[i] = org
+    if too_big and on_misfit == "raise":
+        raise ValueError(f"poses exceed tile {tile}: {too_big}")
+    fitted = [i for i in range(N) if i not in set(too_big)]
+    sel_all = np.asarray(fitted, np.int64)
+    N_f = len(fitted)
+
+    # per-pose attrs: [B, V, 12] = (n_cam, p_cam, mat, verts_obj)
+    faces_p = jnp.asarray(_pad_faces(np.asarray(faces), chunk))
+    vj = jnp.asarray(verts32)
+    fn = _batched_window_phong_xyz(tile, chunk)
+    out = []
+    for s in range(0, N_f, batch):
+        idx = sel_all[s:s + batch]
+        pad = batch - len(idx)
+        sel = np.concatenate([idx, np.repeat(idx[-1:], pad)]) if pad else idx
+        n_cam = np.einsum("vk,bjk->bvj", normals, Rs[sel])
+        p_cam = np.einsum("vk,bjk->bvj", verts32, Rs[sel]) + ts[sel][:, None]
+        attrs = np.concatenate(
+            [n_cam, p_cam,
+             np.broadcast_to(mat, (len(sel),) + mat.shape),
+             np.broadcast_to(verts32, (len(sel),) + verts32.shape)], -1)
+        d, rgb, xyz = fn(vj, jnp.asarray(attrs, jnp.float32), faces_p,
+                         jnp.asarray(Ks[sel]), jnp.asarray(Rs[sel]),
+                         jnp.asarray(ts[sel]), jnp.asarray(origins[sel]),
+                         jnp.asarray(light_pos[sel]), jnp.asarray(ambient[sel]),
+                         jnp.asarray(diffuse[sel]), jnp.asarray(specular[sel]))
+        d, rgb, xyz = np.asarray(d), np.asarray(rgb), np.asarray(xyz)
+        for k in range(len(idx)):
+            i = idx[k]
+            out.append((d[k], rgb[k], xyz[k],
+                        (int(origins[i][0]), int(origins[i][1]))))
+    if on_misfit == "skip":
+        return out, fitted
+    return out
+
+
 # 3D bounding-box edge corners in the reference line shader's order
 # (lib/meshrenderer/shader/line.vs:18-43: 12 instanced GL_LINES between
 # min/max-corner combinations). Each row indexes the corner bit pattern

@@ -231,6 +231,41 @@ def _mini_bop_scene(scene_dir, insts_per_im, K):
             json.dump(obj, fp)
 
 
+def test_meta_json_dataset_resolution(tmp_path):
+    """Self-describing datasets: <data_root>/<dir>/meta.json (the
+    tools/gen_scale_dataset.py layout) resolve as "<dir>_train"/"<dir>_test"
+    with syn/real img_type and full DatasetMeta fields."""
+    import json
+    import os.path as osp
+    from gdrnet_tpu.data.dataset_factory import resolve
+
+    root = osp.join(str(tmp_path), "mysynth")
+    meta = build_fixture_dataset(root, n_images=3, seed=5, split="train")
+    build_fixture_dataset(root, n_images=2, seed=6, split="test")
+    with open(osp.join(root, "meta.json"), "w") as f:
+        json.dump({
+            "name": "mysynth", "objects": meta.objects,
+            "id2obj": {i: n for i, n in meta.id2obj.items()},
+            "diameters": meta.diameters_by_name,
+            "cam_K": np.asarray(meta.camera_matrix, float).reshape(-1).tolist(),
+            "width": meta.width, "height": meta.height,
+            "sym_objects": meta.sym_objects}, f)
+
+    m_tr, recs_tr = resolve("mysynth_train", str(tmp_path))
+    m_te, recs_te = resolve("mysynth_test", str(tmp_path))
+    assert m_tr.name == "mysynth" and m_tr.objects == meta.objects
+    assert np.allclose(m_tr.camera_matrix, meta.camera_matrix)
+    assert m_tr.sym_objects == meta.sym_objects
+    assert len(recs_tr) == 6 and len(recs_te) == 4  # 2 instances / image
+    assert recs_tr[0]["img_type"] == "syn"
+    assert recs_te[0]["img_type"] == "real"
+    # the resolved meta loads model assets from the dataset dir
+    models = ObjectModels(m_te, num_pm_points=64, num_fps=8)
+    assert models.fps_stack.shape[0] == len(meta.objects)
+    with pytest.raises(KeyError):
+        resolve("nosuchdir_test", str(tmp_path))
+
+
 def test_lm_image_set_splits(tmp_path):
     """lm_real_<obj>_{train,test,all} resolve via image_set idx files over
     the object's test/ scene (lm_dataset_d2.py:310-392)."""
