@@ -17,10 +17,13 @@ re-executed as:
                                           live params; cost is negligible)
     y    = conv_i32(x_i8, w_i8) * (s_x * s_w[c]) + b
 
-Symmetric quantization keeps the conv free of zero-point corrections; the
-int32 accumulator is exact, so the only error is the 8-bit rounding of
-inputs/weights. BatchNorm/GN, biases, attention maps, upsampling, the
-f32 `out_conv` emit layer and all Dense layers stay in bf16/f32.
+`nn.Dense` layers (the ConvPnPNet/TransHeadNet FC chains — flattened-ROI
+matmuls, pure MXU) are intercepted the same way, with int32-accumulated
+`dot_general`. Symmetric quantization keeps the conv free of zero-point
+corrections; the int32 accumulator is exact, so the only error is the
+8-bit rounding of inputs/weights. BatchNorm/GN, biases, attention maps,
+upsampling, the f32 `out_conv` emit layer and the final fc_r/fc_t pose
+regressors stay in bf16/f32.
 
 Usage:
     scales = calibrate_act_scales(model, variables, batches)
@@ -39,13 +42,21 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-# module-path prefixes quantized by default: the ResNet trunk and the
-# geometry head carry ~all inference FLOPs. pnp_net convs consume the
-# decoded coordinate maps whose 8-bit rounding costs pose accuracy for
-# little time (they run at <=64^2 x 128ch) — off by default.
-DEFAULT_QUANT_PREFIXES = ("backbone", "rot_head")
-# never quantize: the f32 emit layer feeding the softmax/argmax decodes
-DEFAULT_EXCLUDE_NAMES = ("out_conv",)
+# module-path prefixes quantized by default, per module type. Convs: the
+# ResNet trunk and the geometry head carry ~all inference FLOPs; pnp_net's
+# convs consume the decoded coordinate maps whose 8-bit rounding costs pose
+# accuracy (measured: up to ~2.4 deg rotation drift) for little time — off.
+# Dense: the 8192->1024->256 FC chain (reference conv_pnp_net.py:41-157)
+# and TransHeadNet FCs are flattened-feature matmuls, robust to 8-bit
+# rounding (exactness + quality gates in tests/test_quantize.py).
+DEFAULT_CONV_PREFIXES = ("backbone", "rot_head")
+DEFAULT_DENSE_PREFIXES = ("backbone", "rot_head", "pnp_net", "trans_head")
+# legacy alias (single-set callers): the conv set
+DEFAULT_QUANT_PREFIXES = DEFAULT_CONV_PREFIXES
+# never quantize: the f32 emit layer feeding the softmax/argmax decodes,
+# and the final pose regressors (tiny 256->{rot_dim,3} matmuls — zero
+# throughput to win, direct rounding error on the pose outputs)
+DEFAULT_EXCLUDE_NAMES = ("out_conv", "fc_r", "fc_t")
 
 
 def _path_str(module: nn.Module) -> str:
@@ -86,9 +97,29 @@ def _should_quantize(path: str, prefixes, exclude_names) -> bool:
             and not any(s in exclude_names for s in segs))
 
 
+def _resolve_prefix_sets(prefixes, dense_prefixes):
+    """(conv_set, dense_set) from the user-facing args: `prefixes` governs
+    convs (default DEFAULT_CONV_PREFIXES); `dense_prefixes` governs Dense
+    layers, defaulting to `prefixes` when that was given explicitly and to
+    DEFAULT_DENSE_PREFIXES otherwise."""
+    if dense_prefixes is None:
+        dense_prefixes = DEFAULT_DENSE_PREFIXES if prefixes is None else prefixes
+    if prefixes is None:
+        prefixes = DEFAULT_CONV_PREFIXES
+    return prefixes, dense_prefixes
+
+
+def _quantizable(module, path, conv_prefixes, dense_prefixes, exclude_names):
+    if isinstance(module, nn.Dense):
+        return _should_quantize(path, dense_prefixes, exclude_names)
+    if isinstance(module, nn.Conv):
+        return _should_quantize(path, conv_prefixes, exclude_names)
+    return False
+
+
 def calibrate_act_scales(model, variables, batches: list[dict],
                          apply_fn: Callable | None = None,
-                         prefixes=DEFAULT_QUANT_PREFIXES,
+                         prefixes=None, dense_prefixes=None,
                          exclude_names=DEFAULT_EXCLUDE_NAMES) -> dict:
     """Per-conv-input activation scales from calibration batches.
 
@@ -99,6 +130,7 @@ def calibrate_act_scales(model, variables, batches: list[dict],
     (default: engine.steps kwargs convention).
     Returns {path: scale} with scale = running-max |x| / 127.
     """
+    conv_pre, dense_pre = _resolve_prefix_sets(prefixes, dense_prefixes)
     if apply_fn is None:
         from gdrnet_tpu.engine.steps import _model_kwargs
 
@@ -109,10 +141,10 @@ def calibrate_act_scales(model, variables, batches: list[dict],
         rec = {}
 
         def interceptor(next_fun, args, kwargs, context):
-            if (isinstance(context.module, nn.Conv)
-                    and context.method_name == "__call__"):
+            if context.method_name == "__call__":
                 p = _path_str(context.module)
-                if _should_quantize(p, prefixes, exclude_names):
+                if _quantizable(context.module, p, conv_pre, dense_pre,
+                                exclude_names):
                     m = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
                     # max-merge: a weight-shared conv called twice per
                     # forward must calibrate over BOTH invocations
@@ -136,17 +168,20 @@ def calibrate_act_scales(model, variables, batches: list[dict],
 
 
 def make_int8_interceptor(scales: dict,
-                          prefixes=DEFAULT_QUANT_PREFIXES,
+                          prefixes=None, dense_prefixes=None,
                           exclude_names=DEFAULT_EXCLUDE_NAMES) -> Callable:
-    """flax method interceptor replacing calibrated nn.Conv calls with the
-    int8 MXU path (int32 accumulation, per-out-channel weight scales)."""
+    """flax method interceptor replacing calibrated nn.Conv/nn.Dense calls
+    with the int8 MXU path (int32 accumulation, per-out-channel weight
+    scales)."""
+    conv_pre, dense_pre = _resolve_prefix_sets(prefixes, dense_prefixes)
 
     def interceptor(next_fun, args, kwargs, context):
         m = context.module
-        if not isinstance(m, nn.Conv) or context.method_name != "__call__":
+        if context.method_name != "__call__":
             return next_fun(*args, **kwargs)
         p = _path_str(m)
-        if p not in scales or not _should_quantize(p, prefixes, exclude_names):
+        if p not in scales or not _quantizable(m, p, conv_pre, dense_pre,
+                                               exclude_names):
             return next_fun(*args, **kwargs)
         (x,) = args
         params = m.variables["params"]
@@ -157,7 +192,14 @@ def make_int8_interceptor(scales: dict,
         sx = jnp.float32(scales[p])
         x_i8 = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
                         -127, 127).astype(jnp.int8)
-        y = _lax_conv_like(m, x_i8, w_i8, preferred_element_type=jnp.int32)
+        if isinstance(m, nn.Dense):
+            # y = x @ kernel with int32 accumulation ([.., in] x [in, out])
+            y = lax.dot_general(
+                x_i8, w_i8, (((x_i8.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        else:
+            y = _lax_conv_like(m, x_i8, w_i8,
+                               preferred_element_type=jnp.int32)
         y = y.astype(jnp.float32) * (sx * sw)
         if m.use_bias:
             y = y + jnp.asarray(params["bias"], jnp.float32)
@@ -167,11 +209,12 @@ def make_int8_interceptor(scales: dict,
 
 
 @contextlib.contextmanager
-def quantized_scope(scales: dict, prefixes=DEFAULT_QUANT_PREFIXES,
+def quantized_scope(scales: dict, prefixes=None, dense_prefixes=None,
                     exclude_names=DEFAULT_EXCLUDE_NAMES):
     """`with quantized_scope(scales): model.apply(...)` — every calibrated
-    conv inside runs int8. Composable with jax.jit (interception happens at
-    trace time)."""
+    conv/Dense inside runs int8. Composable with jax.jit (interception
+    happens at trace time)."""
     with nn.intercept_methods(
-            make_int8_interceptor(scales, prefixes, exclude_names)):
+            make_int8_interceptor(scales, prefixes, dense_prefixes,
+                                  exclude_names)):
         yield

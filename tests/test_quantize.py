@@ -38,12 +38,19 @@ def test_calibration_covers_quant_convs(gdrn_setup):
     paths = set(scales)
     # every scale is positive and within the quantized subtree
     assert all(s > 0 for s in scales.values())
-    assert all(p.startswith(("backbone", "rot_head")) for p in paths)
+    assert all(p.startswith(("backbone", "rot_head", "pnp_net", "trans_head"))
+               for p in paths)
     # the f32 emit conv must NOT be calibrated/quantized
     assert not any("out_conv" in p for p in paths)
     # R18 trunk: stem + 8 blocks x 2 convs + shortcuts; head stage convs
     assert sum(p.startswith("backbone") for p in paths) >= 17
     assert sum(p.startswith("rot_head") for p in paths) >= 6
+    # the pnp_net fc1/fc2 Dense chain is calibrated; pnp_net CONVS (decoded
+    # coordinate maps, rounding-sensitive) and the final fc_r/fc_t pose
+    # regressors are not
+    assert {"pnp_net/fc1", "pnp_net/fc2"} <= paths
+    assert not any(p.startswith("pnp_net/conv") for p in paths)
+    assert not any(p.endswith(("fc_r", "fc_t")) for p in paths)
 
 
 def test_int8_predict_tracks_bf16(gdrn_setup):
@@ -97,6 +104,39 @@ def test_int8_conv_exact_int_arithmetic():
     assert scales["c"] == pytest.approx(1.0)
     ref = m.apply(v, x)
     with quantized_scope(scales, prefixes=("c",), exclude_names=()):
+        q = m.apply(v, x)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(ref), atol=1e-3)
+
+
+def test_int8_dense_exact_int_arithmetic():
+    """Dense twin of the conv exactness test: on-grid inputs/weights pass
+    through the int8 dot_general path bit-exactly."""
+    import flax.linen as nn
+    from gdrnet_tpu.models.quantize import (calibrate_act_scales,
+                                            quantized_scope)
+
+    class One(nn.Module):
+        @nn.compact
+        def __call__(self, x, *, train=False):
+            return nn.Dense(16, use_bias=True, name="d")(x)
+
+    m = One()
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randint(-127, 128, (4, 32)), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    w = rng.randint(-127, 128, (32, 16)).astype(np.float32)
+    w[0, :] = 127.0
+    v = {"params": {"d": {"kernel": jnp.asarray(w),
+                          "bias": v["params"]["d"]["bias"]}}}
+
+    def apply_fn(vv, b, _apply):
+        _apply(vv, b, train=False)
+
+    scales = calibrate_act_scales(m, v, [x], apply_fn=apply_fn,
+                                  prefixes=("d",), exclude_names=())
+    assert scales["d"] == pytest.approx(1.0)
+    ref = m.apply(v, x)
+    with quantized_scope(scales, prefixes=("d",), exclude_names=()):
         q = m.apply(v, x)
     np.testing.assert_allclose(np.asarray(q), np.asarray(ref), atol=1e-3)
 
