@@ -98,7 +98,13 @@ _DEFAULTS = dict(
                # jax.profiler trace of [PROFILE_START, PROFILE_STOP) train
                # iters into <PROFILE_DIR>; "" disables (SURVEY.md §5 tracing
                # plan — the reference has no profiler integration)
-               PROFILE_DIR="", PROFILE_START=10, PROFILE_STOP=15),
+               PROFILE_DIR="", PROFILE_START=10, PROFILE_STOP=15,
+               # HBM-resident training pool (data/device_pool.py): map every
+               # record once, keep the compact pool on device, gather batches
+               # by sampler indices each step; POOL_REFRESH re-augments slots
+               # in the background (fresh DZI/color aug) at link bandwidth
+               DEVICE_RESIDENT_POOL=False, POOL_REFRESH=True,
+               POOL_REFRESH_CHUNK=64),
     VAL=dict(
         DATASET_NAME="lm",
         RESULTS_PATH="",

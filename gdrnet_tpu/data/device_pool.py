@@ -1,0 +1,350 @@
+"""HBM-resident training pool: the whole (pre-mapped) train set lives on
+device; each step gathers its batch by sampler indices in one shard_mapped
+XLA program.
+
+Why: a GDR-Net ROI sample is small after mapping (~240 KB compact) but the
+mapper's per-visit host cost and the host->device link dominate training on
+hosts that are slow or far from the chip (the reference streams CPU-worker
+batches per iteration, core/gdrn_modeling/engine.py:229-239 — fine over
+PCIe, hopeless over a thin link). When the mapped dataset fits in HBM
+(LM-13-scale sets: ~15k ROIs ~= 3.5 GB), uploading ONCE and gathering
+batches on device makes training purely FLOP-bound; a background refresh
+thread keeps re-augmenting samples (fresh DZI jitter / color aug) and
+trickles updates in at whatever bandwidth the link has.
+
+Layout: pool tensors are [N, ...] sharded contiguously over the mesh data
+axis (shard d owns slots [d*per, (d+1)*per)); samplers draw shard-LOCAL
+indices so the per-step gather + decode runs entirely inside shard_map with
+no collectives. Compact dtypes (uint8 image / packed mask bits / f16 xyz)
+cut HBM and refresh bandwidth ~4x vs the f32 batch; the decode step
+reconstructs everything the loss needs, re-deriving the per-class constants
+(gt_points / sym sets / extents / xyz bins) from `roi_classes` + the model
+stacks instead of storing them per sample.
+
+Residuals vs the host mapper batch (tests/test_device_pool.py): roi_img
+round-trips through uint8 (<=1 LSB of the de-normalized image, the same
+envelope as INPUT.DEVICE_PREPROCESS, docs/training.md), gt_xyz/coords
+through f16 (<=5e-4 of the extent-normalized range), and gt_xyz_bin may
+flip at exact bin boundaries (measured <0.1% of fg pixels).
+
+Enabled by TRAIN.DEVICE_RESIDENT_POOL (+ TRAIN.POOL_REFRESH) in
+engine/trainer.py; no reference counterpart (SURVEY.md maps this to the
+data-loading layer it replaces, data_loader.py:304-633).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gdrnet_tpu.ops.warp import affine_params_batch
+
+
+# ---------------------------------------------------------------- encode
+
+def encode_sample(s: dict, pixel_mean, pixel_std) -> dict:
+    """Mapper sample -> compact pool row (host). Inverse of _decode_rows."""
+    img = np.clip(np.round(s["roi_img"] * pixel_std + pixel_mean), 0, 255)
+    masks = (s["gt_mask_trunc"] > 0.5).astype(np.uint8) \
+        | ((s["gt_mask_visib"] > 0.5).astype(np.uint8) << 1) \
+        | ((s["gt_mask_obj"] > 0.5).astype(np.uint8) << 2)
+    return {
+        "img_u8": img.astype(np.uint8),
+        "xyz_f16": s["gt_xyz"].astype(np.float16),
+        "masks_u8": masks,
+        "region_u8": s["gt_region"].astype(np.uint8),
+        "cls": np.int32(s["roi_classes"]),
+        "cams": s["roi_cams"].astype(np.float32),
+        "centers": s["roi_centers"].astype(np.float32),
+        "whs": s["roi_whs"].astype(np.float32),
+        "resize_ratios": np.float32(s["resize_ratios"]),
+        "rot": s["gt_ego_rot"].astype(np.float32),
+        "trans": s["gt_trans"].astype(np.float32),
+        "trans_ratio": s["gt_trans_ratio"].astype(np.float32),
+        "im_wh": s["im_wh"].astype(np.float32),
+    }
+
+
+def _decode_rows(rows: dict, points_stack, extents_stack, fps_stack,
+                 sym_rots_stack, sym_mask_stack, pixel_mean, pixel_std, *,
+                 out_res: int, xyz_bin: int, with_bins: bool,
+                 xyz_mask_gt: str) -> dict:
+    """Pool rows [B,...] -> the train batch dict (pure jnp; inside
+    shard_map). Mirrors data/mapper.GDRNTrainMapper.__call__'s tail."""
+    cls = rows["cls"]
+    extents = extents_stack[cls]
+    img = (rows["img_u8"].astype(jnp.float32) - pixel_mean) / pixel_std
+    masks = rows["masks_u8"]
+    m_trunc = (masks & 1).astype(jnp.float32)
+    m_visib = ((masks >> 1) & 1).astype(jnp.float32)
+    m_obj = ((masks >> 2) & 1).astype(jnp.float32)
+    xyz_norm = rows["xyz_f16"].astype(jnp.float32)
+
+    # coord_2d recomputed exactly (mapper.roi_coord_2d closed form)
+    centers = rows["centers"]
+    scales = out_res / rows["resize_ratios"]
+    M_out = affine_params_batch(centers, scales, out_res, inv=True)
+    dy, dx = jnp.mgrid[0:out_res, 0:out_res]
+    sx = (M_out[:, 0, 0, None, None] * dx + M_out[:, 0, 1, None, None] * dy
+          + M_out[:, 0, 2, None, None])
+    sy = (M_out[:, 1, 0, None, None] * dx + M_out[:, 1, 1, None, None] * dy
+          + M_out[:, 1, 2, None, None])
+    w1 = jnp.maximum(rows["im_wh"][:, 0] - 1.0, 1.0)[:, None, None]
+    h1 = jnp.maximum(rows["im_wh"][:, 1] - 1.0, 1.0)[:, None, None]
+    coord2d = jnp.stack([sx / w1, sy / h1], axis=-1)
+
+    if with_bins:
+        bins = (jnp.clip(xyz_norm, 0, 0.999999) * xyz_bin).astype(jnp.int32)
+        m = {"trunc": m_trunc, "visib": m_visib, "obj": m_obj}[xyz_mask_gt]
+        bins = jnp.where(m[..., None] == 0, xyz_bin, bins)
+    else:
+        bins = jnp.zeros(xyz_norm.shape[:3] + (3,), jnp.int32)
+
+    return {
+        "roi_img": img,
+        "roi_classes": cls,
+        "roi_coord_2d": coord2d.astype(jnp.float32),
+        "roi_cams": rows["cams"],
+        "roi_centers": centers,
+        "roi_whs": rows["whs"],
+        "roi_extents": extents,
+        "resize_ratios": rows["resize_ratios"],
+        "gt_xyz": xyz_norm,
+        "gt_xyz_bin": bins,
+        "gt_mask_trunc": m_trunc,
+        "gt_mask_visib": m_visib,
+        "gt_mask_obj": m_obj,
+        "gt_region": rows["region_u8"].astype(jnp.int32),
+        "gt_ego_rot": rows["rot"],
+        "gt_trans": rows["trans"],
+        "gt_trans_ratio": rows["trans_ratio"],
+        "gt_points": points_stack[cls],
+        "sym_rots": sym_rots_stack[cls],
+        "sym_mask": sym_mask_stack[cls],
+    }
+
+
+# ----------------------------------------------------------------- pool
+
+class DevicePool:
+    """Maps `records` once, uploads the compact pool sharded over the mesh
+    data axis, and serves per-step batches from device memory.
+
+    make_batch(local_idx): local_idx [B] int32, arranged as n_shards
+    contiguous blocks of B/n_shards shard-LOCAL slot indices (what
+    pool_index_sampler yields). Returns the train batch, batch-sharded.
+    """
+
+    def __init__(self, cfg, records, mapper, models, mesh,
+                 axis_name: str = "data", seed: int = 0, logger=None):
+        self.mesh = mesh
+        self.axis_name = axis_name
+        n_shards = int(mesh.shape[axis_name])
+        self.n_shards = n_shards
+        per = len(records) // n_shards
+        n_use = per * n_shards
+        if n_use < len(records) and logger is not None:
+            logger.info(f"pool: dropping {len(records) - n_use} records to "
+                        f"shard {len(records)} evenly over {n_shards}")
+        self.per_shard = per
+        self.records = records[:n_use]
+        self.mapper = mapper
+        rh = cfg.MODEL.CDPN.ROT_HEAD
+        self._decode_static = dict(
+            out_res=cfg.MODEL.CDPN.BACKBONE.OUTPUT_RES,
+            xyz_bin=rh.XYZ_BIN, with_bins="CE" in rh.XYZ_LOSS_TYPE,
+            xyz_mask_gt=rh.XYZ_LOSS_MASK_GT)
+        self.pixel_mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float32)
+        self.pixel_std = np.asarray(cfg.MODEL.PIXEL_STD, np.float32)
+        self.labels = [models.label_of(r["label"]) for r in self.records]
+
+        self._stacks = jax.device_put(
+            (jnp.asarray(models.points_stack), jnp.asarray(models.extents_stack),
+             jnp.asarray(models.fps_stack), jnp.asarray(models.sym_rots_stack),
+             jnp.asarray(models.sym_mask_stack)),
+            NamedSharding(mesh, P()))
+
+        if logger is not None:
+            logger.info(f"pool: mapping {n_use} records once ...")
+        rows = [self.map_row(i, seed) for i in range(n_use)]
+        host = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+        del rows
+        nbytes = sum(v.nbytes for v in host.values())
+        if logger is not None:
+            logger.info(f"pool: uploading {nbytes / 2**20:.0f} MiB "
+                        f"({n_use} rows x {nbytes // max(n_use, 1) // 1024} KiB)")
+        self.pool = {k: jax.device_put(v, NamedSharding(mesh, P(axis_name)))
+                     for k, v in host.items()}
+        del host
+        jax.block_until_ready(self.pool)
+
+        spec = P(axis_name)
+        rep = P()
+
+        @jax.jit
+        def _make_batch(pool, idx, stacks):
+            def local(pool_l, idx_l, *stacks_l):
+                rows = {k: v[idx_l] for k, v in pool_l.items()}
+                return _decode_rows(rows, *stacks_l,
+                                    self.pixel_mean, self.pixel_std,
+                                    **self._decode_static)
+
+            return shard_map(
+                local, mesh=mesh,
+                in_specs=(spec, spec, rep, rep, rep, rep, rep),
+                out_specs=spec)(pool, idx, *stacks)
+
+        self._make_batch = _make_batch
+
+        @partial(jax.jit, donate_argnums=0)
+        def _scatter_local(block, idx_l, rows):
+            return {k: block[k].at[idx_l].set(rows[k]) for k in block}
+
+        self._scatter_local = _scatter_local
+
+    def map_row(self, slot: int, seed: int) -> dict:
+        """Map + encode one record; rng keyed by (seed, slot) so refresh
+        draws fresh augmentations with a different seed."""
+        rec = self.records[slot]
+        rng = np.random.RandomState((seed * 1_000_003 + int(slot)) % (2 ** 31))
+        s = self.mapper(rec, rng)
+        s["im_wh"] = np.asarray(self._im_wh(rec), np.float32)
+        return encode_sample(s, self.pixel_mean, self.pixel_std)
+
+    @staticmethod
+    def _im_wh(rec) -> tuple:
+        # frame size without re-decoding the image: BOP datasets are
+        # constant-size per dataset; read once and cache on the record
+        if "im_wh" not in rec:
+            import cv2
+
+            img = cv2.imread(rec["rgb_path"], cv2.IMREAD_GRAYSCALE)
+            rec["im_wh"] = (img.shape[1], img.shape[0])
+        return rec["im_wh"]
+
+    def make_batch(self, local_idx: np.ndarray) -> dict:
+        idx = jax.device_put(
+            np.asarray(local_idx, np.int32),
+            NamedSharding(self.mesh, P(self.axis_name)))
+        return self._make_batch(self.pool, idx, self._stacks)
+
+    # ------------------------------------------------------------ refresh
+
+    def apply_refresh(self, shard: int, local_idx: np.ndarray, rows: dict):
+        """Replace `local_idx` slots of one shard with freshly mapped rows.
+        Only that device's buffer is touched (donated scatter); the global
+        arrays are reassembled from the existing per-device buffers —
+        zero-copy for the untouched shards."""
+        # order per-device buffers by their slot offset (single-process:
+        # addressable shards cover the whole array)
+        bufs = {
+            k: [s.data for s in sorted(arr.addressable_shards,
+                                       key=lambda s: s.index[0].start or 0)]
+            for k, arr in self.pool.items()}
+        dev = bufs["cls"][shard].devices().pop()
+        block = {k: b[shard] for k, b in bufs.items()}
+        new_block = self._scatter_local(
+            block, jax.device_put(np.asarray(local_idx, np.int32), dev),
+            {k: jax.device_put(v, dev) for k, v in rows.items()})
+        for k, arr_new in new_block.items():
+            arr = self.pool[k]
+            bufs[k][shard] = arr_new
+            self.pool[k] = jax.make_array_from_single_device_arrays(
+                arr.shape, arr.sharding, bufs[k])
+
+
+def pool_index_sampler(pool: DevicePool, batch_size: int, seed: int,
+                       sampler_name: str = "TrainingSampler",
+                       repeat_thresh: float = 0.0):
+    """Infinite [B] int32 streams of shard-local indices, one contiguous
+    block per shard (the layout DevicePool.make_batch expects). Reuses the
+    framework samplers per shard — shard-local shuffling is statistically
+    equivalent to the reference's rank::world striding because slot
+    assignment is itself arbitrary."""
+    from gdrnet_tpu.data.samplers import (training_sampler,
+                                          repeat_factor_training_sampler)
+
+    n, per = pool.n_shards, pool.per_shard
+    if batch_size % n:
+        raise ValueError(f"batch {batch_size} not divisible by {n} shards")
+    b_local = batch_size // n
+    streams = []
+    for d in range(n):
+        if sampler_name == "RepeatFactorTrainingSampler":
+            labels_d = pool.labels[d * per:(d + 1) * per]
+            streams.append(repeat_factor_training_sampler(
+                labels_d, repeat_thresh, seed=seed + d * 7919))
+        else:
+            streams.append(training_sampler(per, seed=seed + d * 7919))
+    while True:
+        idx = np.empty(batch_size, np.int32)
+        for d, st in enumerate(streams):
+            for j in range(b_local):
+                idx[d * b_local + j] = next(st)
+        yield idx
+
+
+class PoolRefresher:
+    """Background re-augmentation: a host thread keeps re-mapping random
+    slots with fresh rng; the train loop drains ready chunks between steps
+    (transfers happen on the caller's thread — the device keeps executing
+    queued steps meanwhile). Restores DZI/color-aug diversity that a
+    frozen pool would lose."""
+
+    def __init__(self, pool: DevicePool, chunk: int = 64, max_queue: int = 4,
+                 seed: int = 1):
+        self.pool = pool
+        self.chunk = chunk
+        self.q: queue.Queue = queue.Queue(maxsize=max_queue)
+        self._stop = threading.Event()
+        self._seed = seed
+        self.refreshed = 0
+        self._thread = threading.Thread(target=self._produce, daemon=True)
+        self._thread.start()
+
+    def _produce(self):
+        rng = np.random.RandomState(self._seed ^ 0x5EED)
+        epoch = 1
+        while not self._stop.is_set():
+            shard = int(rng.randint(self.pool.n_shards))
+            local = rng.choice(self.pool.per_shard,
+                               size=min(self.chunk, self.pool.per_shard),
+                               replace=False).astype(np.int32)
+            rows = [self.pool.map_row(shard * self.pool.per_shard + int(i),
+                                      seed=self._seed + epoch)
+                    for i in local]
+            stacked = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+            epoch += 1
+            while not self._stop.is_set():
+                try:
+                    self.q.put((shard, local, stacked), timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def drain(self, max_chunks: int = 1):
+        """Apply up to max_chunks ready refresh chunks (call between steps)."""
+        for _ in range(max_chunks):
+            try:
+                shard, local, rows = self.q.get_nowait()
+            except queue.Empty:
+                return
+            self.pool.apply_refresh(shard, local, rows)
+            self.refreshed += len(local)
+
+    def stop(self):
+        self._stop.set()
+        # unblock a producer waiting on a full queue
+        try:
+            while True:
+                self.q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=10)

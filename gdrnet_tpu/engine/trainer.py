@@ -155,20 +155,47 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
 
         seed = int(multihost_utils.broadcast_one_to_all(
             jnp.asarray(seed, jnp.int32)))
-    loader = TrainLoader(
-        records, mapper, ims_per_batch,
-        sampler_name=cfg.DATALOADER.SAMPLER_TRAIN,
-        repeat_thresh=cfg.DATALOADER.REPEAT_THRESHOLD,
-        num_workers=cfg.DATALOADER.NUM_WORKERS,
-        seed=seed,
-        records2=records2, ratio2=cfg.DATASETS.TRAIN2_RATIO)
-
     # PARALLEL.MESH_SHAPE/AXIS_NAMES: 1-D data mesh (the reference is
     # DP-only, SURVEY.md §2.9); the axis name is config-driven so sharded
     # checkpoints/shardings stay stable across runs
     n_total, mp, axis = resolve_mesh_spec(
         cfg, ims_per_batch, len(jax.devices()), logger=logger)
     mesh = make_mesh(n_total, axis_name=axis, model_parallel=mp)
+
+    pool = refresher = None
+    if cfg.TRAIN.get("DEVICE_RESIDENT_POOL"):
+        # HBM-resident pool: map every record once, keep the compact pool
+        # on device, gather per-step batches by sampler indices; optional
+        # background aug-refresh (data/device_pool.py). The loop below is
+        # unchanged — the "loader" yields index arrays and "to_device"
+        # becomes the on-device gather.
+        from gdrnet_tpu.data.device_pool import (DevicePool, PoolRefresher,
+                                                 pool_index_sampler)
+
+        if records2:
+            raise NotImplementedError(
+                "DEVICE_RESIDENT_POOL does not support DATASETS.TRAIN2")
+        if cfg.INPUT.DEVICE_PREPROCESS:
+            raise NotImplementedError(
+                "DEVICE_RESIDENT_POOL maps on host; disable DEVICE_PREPROCESS")
+        pool = DevicePool(cfg, records, mapper, models, mesh,
+                          axis_name=axis, seed=seed, logger=logger)
+        loader = pool_index_sampler(
+            pool, ims_per_batch, seed,
+            sampler_name=cfg.DATALOADER.SAMPLER_TRAIN,
+            repeat_thresh=cfg.DATALOADER.REPEAT_THRESHOLD)
+        if cfg.TRAIN.get("POOL_REFRESH", True):
+            refresher = PoolRefresher(
+                pool, chunk=int(cfg.TRAIN.get("POOL_REFRESH_CHUNK", 64) or 64),
+                seed=seed + 1)
+    else:
+        loader = TrainLoader(
+            records, mapper, ims_per_batch,
+            sampler_name=cfg.DATALOADER.SAMPLER_TRAIN,
+            repeat_thresh=cfg.DATALOADER.REPEAT_THRESHOLD,
+            num_workers=cfg.DATALOADER.NUM_WORKERS,
+            seed=seed,
+            records2=records2, ratio2=cfg.DATASETS.TRAIN2_RATIO)
     model = build_model(cfg)
     base_lr = dict(cfg.SOLVER.OPTIMIZER_CFG).get("lr", 1e-4)
     # with gradient accumulation the inner optimizer (optax.MultiSteps)
@@ -216,6 +243,8 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
                 jax.random.fold_in(prep_rng, it_), raw, *stacks, **prep_static)
 
     def to_device(nb, it_):
+        if pool is not None:  # nb is a [B] index array into the pool
+            return pool.make_batch(nb)
         b = shard_batch({k: jnp.asarray(v) for k, v in nb.items()
                          if k not in ("sym_info",)}, mesh, axis)
         if device_prep is not None:
@@ -284,6 +313,8 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
         if preempted["flag"]:
             if prof_active:
                 jax.profiler.stop_trace()
+            if refresher is not None:
+                refresher.stop()
             ckpt.save(state, it)
             ckpt.wait()
             logger.warning(f"preempted: saved step {it}; resume with --resume")
@@ -299,6 +330,9 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
             nb = next(loader_iter)
             batch = to_device(nb, it + 1)
             data_time = time.perf_counter() - t0
+        if refresher is not None:
+            # apply one ready aug-refresh chunk while the device crunches
+            refresher.drain(max_chunks=1)
         # Only sync with the device at print boundaries — a per-step host
         # fetch would serialize dispatch/compute (the reference pays this for
         # its per-iter assert, engine.py:271; here the NaN tripwire fires at
@@ -366,6 +400,10 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
         jax.block_until_ready(state.params)
         jax.profiler.stop_trace()
         logger.info(f"profiler trace written to {prof_dir}")
+    if refresher is not None:
+        refresher.stop()
+        logger.info(f"pool refresh: {refresher.refreshed} samples "
+                    "re-augmented during training")
     for sig, h in prev_handlers.items():
         signal.signal(sig, h)
     ckpt.save(state, total_iters)
