@@ -14,8 +14,14 @@ by `tools/validate_overfit.py --int8` (ad_10 parity with bf16, mean_re
 +0.08 deg on the overfit fixture). `--bf16` benches the bf16 path.
 
 Flags: --bf16 | --fold-bn | --ckpt <orbax dir or converted .pth> (bench +
-int8-calibrate on real weights; default random init) | --config <cfg.py>
-(model dims for a non-flagship checkpoint) | --batch N | --iters N.
+int8-calibrate on real weights) | --config <cfg.py> (model dims for a
+non-flagship checkpoint) | --batch N | --iters N.
+
+Without --ckpt, real TRAINED weights are auto-detected from the default
+locations below (the scale-run / validate_overfit artifacts), so the
+recorded artifact reflects a real network's int8 calibration; random init
+is the loud last resort. The JSON line carries "ckpt" and, on the int8
+path, the int8-vs-bf16 output drift on the bench batch.
 """
 
 from __future__ import annotations
@@ -28,6 +34,15 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_CROPS_PER_SEC = 5000.0
+
+# auto-detected trained-weights locations, (ckpt_dir, config) — first hit
+# wins: the scale-run checkpoint (SCALE_RUN.md), then a locally saved
+# validate_overfit --save-ckpt artifact. The paired config carries the
+# checkpoint's model dims (class count etc.).
+DEFAULT_CKPTS = (
+    ("output/gdrn/synth/a6_cPnP_synth/ckpt", "configs/gdrn/synth/a6_cPnP_synth.py"),
+    ("checkpoints/bench_default/ckpt", "checkpoints/bench_default/config.py"),
+)
 
 
 def _probe_device() -> None:
@@ -60,16 +75,31 @@ def main():
 
     _probe_device()
 
+    import os.path as osp
+
     cfg = base_config()
     cfg.MODEL.CDPN.PNP_NET.WITH_2D_COORD = True
     cfg.MODEL.CDPN.PNP_NET.REGION_ATTENTION = True
     cfg.PARALLEL.DTYPE = "bfloat16"
     cfg_path = _flag_value("--config")
+    ckpt = _flag_value("--ckpt")
+    if ckpt is None and cfg_path is None:
+        # auto-detect trained weights (paired with their model-dims config)
+        for c_dir, c_cfg in DEFAULT_CKPTS:
+            if osp.exists(c_dir) and osp.exists(c_cfg):
+                ckpt, cfg_path = c_dir, c_cfg
+                print(f"auto-detected trained weights: {ckpt}", file=sys.stderr)
+                break
+        else:
+            print("WARNING: no trained checkpoint found "
+                  f"({' | '.join(c for c, _ in DEFAULT_CKPTS)}); benching "
+                  "RANDOM INIT weights", file=sys.stderr)
     if cfg_path:  # model dims of a non-flagship checkpoint
         from gdrnet_tpu.config import load_config
         from gdrnet_tpu.config.config import Config, merge_dict
 
         cfg = Config(merge_dict(cfg.to_dict(), load_config(cfg_path).to_dict()))
+        cfg.PARALLEL.DTYPE = "bfloat16"
     model = build_model(cfg)
 
     batch_size = int(_flag_value("--batch") or 1024)
@@ -87,7 +117,6 @@ def main():
     variables = model.init({"params": jax.random.PRNGKey(0)},
                            batch["roi_img"], **kwargs, train=False)
 
-    ckpt = _flag_value("--ckpt")
     if ckpt:
         # bench + int8 calibration on REAL weights (orbax dir or converted
         # reference .pth) instead of random init; falls back loudly
@@ -112,11 +141,13 @@ def main():
         int8_scales = calibrate_act_scales(model, variables, [batch],
                                            apply_fn=_cal_apply)
 
-    def _forward(variables, roi_img):
+    def _forward(variables, roi_img, scales=None):
         from gdrnet_tpu.models.quantize import quantized_scope
         import contextlib
 
-        ctx = (quantized_scope(int8_scales) if int8_scales
+        if scales is None:
+            scales = int8_scales
+        ctx = (quantized_scope(scales) if scales
                else contextlib.nullcontext())
         with ctx:
             out = model.apply(
@@ -150,12 +181,30 @@ def main():
     assert carry == carry, "NaN in benched forward"
 
     crops_per_sec = batch_size * iters / dt
-    print(json.dumps({
+    record = {
         "metric": "roi_pose_crops_per_sec_per_chip",
         "value": round(crops_per_sec, 1),
         "unit": "crops/s",
         "vs_baseline": round(crops_per_sec / BASELINE_CROPS_PER_SEC, 3),
-    }))
+        "ckpt": ckpt,
+    }
+    if int8_scales:
+        # int8-vs-bf16 output drift on the bench batch: the quality cost of
+        # the quantization the throughput number is measured on
+        from gdrnet_tpu.ops.rotation import rot_angle_deg
+
+        r8, t8 = jax.jit(lambda v, x: _forward(v, x))(variables,
+                                                      batch["roi_img"])
+        r16, t16 = jax.jit(lambda v, x: _forward(v, x, scales={}))(
+            variables, batch["roi_img"])
+        ang = rot_angle_deg(jnp.asarray(r8, jnp.float32),
+                            jnp.asarray(r16, jnp.float32))
+        rel = jnp.abs(jnp.asarray(t8, jnp.float32)
+                      - jnp.asarray(t16, jnp.float32)) / jnp.maximum(
+            jnp.abs(jnp.asarray(t16, jnp.float32)), 1e-3)
+        record["int8_rot_drift_deg_mean"] = round(float(ang.mean()), 4)
+        record["int8_trans_rel_drift_max"] = round(float(rel.max()), 5)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -278,11 +278,33 @@ def sample_scene(rng, zoo, K, width, height, min_n=4, max_n=8,
     return obj_is, np.stack(Rs), np.stack(ts), light
 
 
+def _render_retry(*args, tries=10, wait=45, **kwargs):
+    """Ride out transient tunnel outages (remote_compile / transfer hiccups
+    raise JaxRuntimeError mid-run): bounded retries, then re-raise. Paired
+    with per-scene resumability so a hard tunnel death only costs the
+    current scene on relaunch."""
+    import time
+
+    import jax
+
+    from gdrnet_tpu.ops.rasterizer import render_phong_xyz_roi_many
+
+    for attempt in range(1, tries + 1):
+        try:
+            return render_phong_xyz_roi_many(*args, **kwargs)
+        except jax.errors.JaxRuntimeError as e:
+            if attempt == tries:
+                raise
+            print(f"render attempt {attempt}/{tries} failed "
+                  f"({str(e).splitlines()[0][:120]}); retrying in {wait}s",
+                  flush=True)
+            time.sleep(wait)
+
+
 def _render_chunk(zoo, colors, images, K, width, height, tiles=(128, 256, 512)):
     """images: list of (obj_is, Rs, ts, light). Renders every instance of the
     chunk grouped by object in batched single-pass phong+xyz windows.
     Returns {(img_idx, inst_idx): (depth_win, rgb_win, xyz_win, origin)}."""
-    from gdrnet_tpu.ops.rasterizer import render_phong_xyz_roi_many
 
     by_obj: dict[int, list] = {}
     for ii, (obj_is, Rs, ts, light) in enumerate(images):
@@ -303,7 +325,7 @@ def _render_chunk(zoo, colors, images, K, width, height, tiles=(128, 256, 512)):
             amb = np.asarray([insts[i][4]["ambient"] for i in pend])
             dif = np.asarray([insts[i][4]["diffuse"] for i in pend])
             spec = np.asarray([insts[i][4]["specular"] for i in pend])
-            rendered, fitted = render_phong_xyz_roi_many(
+            rendered, fitted = _render_retry(
                 v, f, Ks, Rs, ts, height, width, tile=tile, batch=32,
                 colors=col, light_pos=lp, ambient=amb, diffuse=dif,
                 specular=spec, on_misfit="skip")
@@ -334,24 +356,35 @@ def generate_split(root, split, zoo, colors, K, width, height, n_images,
                    log_every=128):
     import cv2
 
-    rng = np.random.RandomState(seed)
     n_scenes = -(-n_images // images_per_scene)
     img_global = 0
     for s in range(n_scenes):
         scene_id = first_scene + s
         sdir = osp.join(root, split, f"{scene_id:06d}")
+        n_here = min(images_per_scene, n_images - s * images_per_scene)
+        # per-scene RNG + completed-scene skip => a crashed run (tunnel
+        # death) resumes deterministically at the first unfinished scene
+        rng = np.random.RandomState(seed + scene_id * 9973)
+        gt_path = osp.join(sdir, "scene_gt.json")
+        if osp.exists(gt_path):
+            with open(gt_path) as f:
+                if len(json.load(f)) == n_here:
+                    img_global += n_here
+                    print(f"[{split}] scene {scene_id} complete, skipping",
+                          flush=True)
+                    continue
         for sub in ("rgb", "depth", "mask", "mask_visib", "xyz_crop"):
             os.makedirs(osp.join(sdir, sub), exist_ok=True)
         scene_gt, scene_gt_info, scene_camera = {}, {}, {}
-        n_here = min(images_per_scene, n_images - s * images_per_scene)
         for c0 in range(0, n_here, chunk_imgs):
             ims = [sample_scene(rng, zoo, K, width, height)
                    for _ in range(min(chunk_imgs, n_here - c0))]
             wins = _render_chunk(zoo, colors, ims, K, width, height)
             for ii, (obj_is, Rs, ts, light) in enumerate(ims):
                 im_id = c0 + ii
-                depth_full = np.zeros((height, width), np.float32)
-                rgb_full = np.zeros((height, width, 3), np.float32)
+                # composite in the renderer's on-disk dtypes (u16 mm / u8)
+                depth_full = np.zeros((height, width), np.uint16)
+                rgb_full = np.zeros((height, width, 3), np.uint8)
                 inst_map = np.full((height, width), -1, np.int32)
                 n_inst = len(obj_is)
                 amodal = []
@@ -402,8 +435,7 @@ def generate_split(root, split, zoo, colors, K, width, height, n_images,
                                        f"{im_id:06d}_{k:06d}.pkl"),
                               "wb") as fp:
                         pickle.dump(
-                            {"xyz_crop": xyz[y1a:y2a + 1, x1a:x2a + 1]
-                             .astype(np.float16),
+                            {"xyz_crop": xyz[y1a:y2a + 1, x1a:x2a + 1],
                              "xyxy": (ox + x1a, oy + y1a,
                                       ox + x2a, oy + y2a)}, fp)
                     gts.append({
@@ -417,13 +449,15 @@ def generate_split(root, split, zoo, colors, K, width, height, n_images,
                     keep_any = keep_any or n_vis > 0
                 assert keep_any, f"empty image {scene_id}/{im_id}"
 
-                bg = _synth_bg(rng, height, width)
+                bg = (_synth_bg(rng, height, width) * 255.0).astype(np.uint8)
                 out = np.where(depth_full[..., None] > 0, rgb_full, bg)
-                out = np.clip(out + rng.randn(height, width, 3) * 0.015, 0, 1)
+                noise = rng.randn(height, width, 3) * (0.015 * 255.0)
+                out = np.clip(out.astype(np.float32) + noise,
+                              0, 255).astype(np.uint8)
                 cv2.imwrite(osp.join(sdir, "rgb", f"{im_id:06d}.png"),
-                            (out[..., ::-1] * 255).astype(np.uint8))
+                            out[..., ::-1])
                 cv2.imwrite(osp.join(sdir, "depth", f"{im_id:06d}.png"),
-                            np.round(depth_full * 1000.0).astype(np.uint16))
+                            depth_full)
                 scene_gt[str(im_id)] = gts
                 scene_gt_info[str(im_id)] = infos
                 scene_camera[str(im_id)] = {
