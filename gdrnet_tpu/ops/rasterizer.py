@@ -458,7 +458,8 @@ def _batched_window_phong_xyz(tile: int, chunk: int):
         # uint8 rgb png, f16 xyz_crop pkl) so the device->host transfer of
         # a dataset-generation run carries no dead f32 bits — 2.6x less
         # traffic over thin links
-        depth_mm = jnp.round(depth * 1000.0).astype(jnp.uint16)
+        depth_mm = jnp.clip(jnp.round(depth * 1000.0), 0.0,
+                            65535.0).astype(jnp.uint16)
         rgb_u8 = jnp.round(jnp.where(hit, rgb, 0.0) * 255.0).astype(jnp.uint8)
         xyz_f16 = jnp.where(hit, xyz, 0.0).astype(jnp.float16)
         return depth_mm, rgb_u8, xyz_f16
@@ -520,6 +521,12 @@ def render_phong_xyz_roi_many(verts, faces, Ks, Rs, ts, height: int,
     faces_p = jnp.asarray(_pad_faces(np.asarray(faces), chunk))
     vj = jnp.asarray(verts32)
     fn = _batched_window_phong_xyz(tile, chunk)
+    # the rasterization pass materializes an f32[B, tile^2, chunk]
+    # edge/z-test intermediate: clamp B so it stays ~<=4 GB of HBM —
+    # at tile=512, chunk=1024 an unclamped B=32 asks for 34 GB and the
+    # compile itself fails with an allocation error
+    budget = 4 << 30
+    batch = max(1, min(batch, budget // (tile * tile * chunk * 4)))
     out = []
     for s in range(0, N_f, batch):
         idx = sel_all[s:s + batch]
