@@ -104,6 +104,102 @@ def resolve_mesh_spec(cfg, ims_per_batch: int, n_avail: int,
     return n_dev, 1, axis
 
 
+def build_input_pipeline(cfg, records, records2, models, mapper, mesh, axis,
+                         seed: int, logger=None):
+    """The training input path: (loader, to_device, refresher).
+
+    loader yields host batches (or pool index arrays); to_device(nb, it)
+    puts/shards them on the mesh, running the XLA preprocessing program when
+    INPUT.DEVICE_PREPROCESS is set, or gathering from the HBM-resident pool
+    when TRAIN.DEVICE_RESIDENT_POOL is set. Shared by do_train and
+    tools/bench_train.py --with-loader so the benched path IS the trained
+    path."""
+    ims_per_batch = cfg.SOLVER.IMS_PER_BATCH
+    pool = refresher = None
+    if cfg.TRAIN.get("DEVICE_RESIDENT_POOL"):
+        # HBM-resident pool: map every record once, keep the compact pool
+        # on device, gather per-step batches by sampler indices; optional
+        # background aug-refresh (data/device_pool.py). The train loop is
+        # unchanged — the "loader" yields index arrays and "to_device"
+        # becomes the on-device gather.
+        from gdrnet_tpu.data.device_pool import (DevicePool, PoolRefresher,
+                                                 pool_index_sampler)
+
+        if records2:
+            raise NotImplementedError(
+                "DEVICE_RESIDENT_POOL does not support DATASETS.TRAIN2")
+        if cfg.INPUT.DEVICE_PREPROCESS:
+            raise NotImplementedError(
+                "DEVICE_RESIDENT_POOL maps on host; disable DEVICE_PREPROCESS")
+        pool = DevicePool(cfg, records, mapper, models, mesh,
+                          axis_name=axis, seed=seed, logger=logger)
+        loader = pool_index_sampler(
+            pool, ims_per_batch, seed,
+            sampler_name=cfg.DATALOADER.SAMPLER_TRAIN,
+            repeat_thresh=cfg.DATALOADER.REPEAT_THRESHOLD)
+        if cfg.TRAIN.get("POOL_REFRESH", True):
+            refresher = PoolRefresher(
+                pool, chunk=int(cfg.TRAIN.get("POOL_REFRESH_CHUNK", 64) or 64),
+                seed=seed + 1)
+    else:
+        loader = TrainLoader(
+            records, mapper, ims_per_batch,
+            sampler_name=cfg.DATALOADER.SAMPLER_TRAIN,
+            repeat_thresh=cfg.DATALOADER.REPEAT_THRESHOLD,
+            num_workers=cfg.DATALOADER.NUM_WORKERS,
+            seed=seed,
+            records2=records2, ratio2=cfg.DATASETS.TRAIN2_RATIO)
+
+    # device-side preprocessing: ship raw frames, run the whole mapper tail
+    # (DZI/crops/targets) as one sharded XLA program (INPUT.DEVICE_PREPROCESS)
+    device_prep = None
+    if cfg.INPUT.DEVICE_PREPROCESS:
+        from gdrnet_tpu.data.device_pipeline import device_train_batch
+
+        rh = cfg.MODEL.CDPN.ROT_HEAD
+        stacks = jax.device_put(
+            (jnp.asarray(models.points_stack), jnp.asarray(models.extents_stack),
+             jnp.asarray(models.fps_stack), jnp.asarray(models.sym_rots_stack),
+             jnp.asarray(models.sym_mask_stack),
+             jnp.asarray(cfg.MODEL.PIXEL_MEAN, jnp.float32),
+             jnp.asarray(cfg.MODEL.PIXEL_STD, jnp.float32)),
+            replicated_sharding(mesh))
+        prep_static = dict(
+            input_res=cfg.MODEL.CDPN.BACKBONE.INPUT_RES,
+            out_res=cfg.MODEL.CDPN.BACKBONE.OUTPUT_RES,
+            xyz_bin=rh.XYZ_BIN, with_bins="CE" in rh.XYZ_LOSS_TYPE,
+            dzi_type=cfg.INPUT.DZI_TYPE, pad_scale=cfg.INPUT.DZI_PAD_SCALE,
+            scale_ratio=cfg.INPUT.DZI_SCALE_RATIO,
+            shift_ratio=cfg.INPUT.DZI_SHIFT_RATIO,
+            xyz_mask_gt=rh.XYZ_LOSS_MASK_GT)
+        if cfg.INPUT.get("DEVICE_COLOR_AUG"):
+            prep_static.update(
+                color_aug_type=cfg.INPUT.COLOR_AUG_TYPE,
+                color_aug_prob=cfg.INPUT.COLOR_AUG_PROB,
+                color_aug_code=cfg.INPUT.get("COLOR_AUG_CODE") or None,
+                color_aug_channel_order=(
+                    "rgb" if cfg.INPUT.get("FORMAT", "BGR").upper() == "RGB"
+                    else "bgr"))
+        prep_rng = jax.random.PRNGKey(seed + 101)
+
+        def device_prep(it_, raw):
+            return device_train_batch(
+                jax.random.fold_in(prep_rng, it_), raw, *stacks, **prep_static)
+
+    def to_device(nb, it_):
+        if pool is not None:  # nb is a [B] index array into the pool
+            return pool.make_batch(nb)
+        b = shard_batch({k: jnp.asarray(v) for k, v in nb.items()
+                         if k not in ("sym_info",)}, mesh, axis)
+        if device_prep is not None:
+            # re-constrain: constants materialized inside the prep program
+            # (e.g. the no-bins gt_xyz_bin zeros) come out replicated
+            b = shard_batch(device_prep(it_, b), mesh, axis)
+        return b
+
+    return loader, to_device, refresher
+
+
 def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS",
              max_iters_override: int | None = None, eval_fn=None):
     """Returns the final train state. eval_fn(cfg, state, models) is called
@@ -162,40 +258,9 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
         cfg, ims_per_batch, len(jax.devices()), logger=logger)
     mesh = make_mesh(n_total, axis_name=axis, model_parallel=mp)
 
-    pool = refresher = None
-    if cfg.TRAIN.get("DEVICE_RESIDENT_POOL"):
-        # HBM-resident pool: map every record once, keep the compact pool
-        # on device, gather per-step batches by sampler indices; optional
-        # background aug-refresh (data/device_pool.py). The loop below is
-        # unchanged — the "loader" yields index arrays and "to_device"
-        # becomes the on-device gather.
-        from gdrnet_tpu.data.device_pool import (DevicePool, PoolRefresher,
-                                                 pool_index_sampler)
-
-        if records2:
-            raise NotImplementedError(
-                "DEVICE_RESIDENT_POOL does not support DATASETS.TRAIN2")
-        if cfg.INPUT.DEVICE_PREPROCESS:
-            raise NotImplementedError(
-                "DEVICE_RESIDENT_POOL maps on host; disable DEVICE_PREPROCESS")
-        pool = DevicePool(cfg, records, mapper, models, mesh,
-                          axis_name=axis, seed=seed, logger=logger)
-        loader = pool_index_sampler(
-            pool, ims_per_batch, seed,
-            sampler_name=cfg.DATALOADER.SAMPLER_TRAIN,
-            repeat_thresh=cfg.DATALOADER.REPEAT_THRESHOLD)
-        if cfg.TRAIN.get("POOL_REFRESH", True):
-            refresher = PoolRefresher(
-                pool, chunk=int(cfg.TRAIN.get("POOL_REFRESH_CHUNK", 64) or 64),
-                seed=seed + 1)
-    else:
-        loader = TrainLoader(
-            records, mapper, ims_per_batch,
-            sampler_name=cfg.DATALOADER.SAMPLER_TRAIN,
-            repeat_thresh=cfg.DATALOADER.REPEAT_THRESHOLD,
-            num_workers=cfg.DATALOADER.NUM_WORKERS,
-            seed=seed,
-            records2=records2, ratio2=cfg.DATASETS.TRAIN2_RATIO)
+    loader, to_device, refresher = build_input_pipeline(
+        cfg, records, records2, models, mapper, mesh, axis, seed,
+        logger=logger)
     model = build_model(cfg)
     base_lr = dict(cfg.SOLVER.OPTIMIZER_CFG).get("lr", 1e-4)
     # with gradient accumulation the inner optimizer (optax.MultiSteps)
@@ -205,53 +270,6 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
     schedule = build_lr_schedule(cfg, base_lr, total_iters,
                                  steps_per_update=accum)
     optimizer = build_optimizer(cfg, lr_schedule=schedule)
-
-    # device-side preprocessing: ship raw frames, run the whole mapper tail
-    # (DZI/crops/targets) as one sharded XLA program (INPUT.DEVICE_PREPROCESS)
-    device_prep = None
-    if cfg.INPUT.DEVICE_PREPROCESS:
-        from gdrnet_tpu.data.device_pipeline import device_train_batch
-
-        rh = cfg.MODEL.CDPN.ROT_HEAD
-        stacks = jax.device_put(
-            (jnp.asarray(models.points_stack), jnp.asarray(models.extents_stack),
-             jnp.asarray(models.fps_stack), jnp.asarray(models.sym_rots_stack),
-             jnp.asarray(models.sym_mask_stack),
-             jnp.asarray(cfg.MODEL.PIXEL_MEAN, jnp.float32),
-             jnp.asarray(cfg.MODEL.PIXEL_STD, jnp.float32)),
-            replicated_sharding(mesh))
-        prep_static = dict(
-            input_res=cfg.MODEL.CDPN.BACKBONE.INPUT_RES,
-            out_res=cfg.MODEL.CDPN.BACKBONE.OUTPUT_RES,
-            xyz_bin=rh.XYZ_BIN, with_bins="CE" in rh.XYZ_LOSS_TYPE,
-            dzi_type=cfg.INPUT.DZI_TYPE, pad_scale=cfg.INPUT.DZI_PAD_SCALE,
-            scale_ratio=cfg.INPUT.DZI_SCALE_RATIO,
-            shift_ratio=cfg.INPUT.DZI_SHIFT_RATIO,
-            xyz_mask_gt=rh.XYZ_LOSS_MASK_GT)
-        if cfg.INPUT.get("DEVICE_COLOR_AUG"):
-            prep_static.update(
-                color_aug_type=cfg.INPUT.COLOR_AUG_TYPE,
-                color_aug_prob=cfg.INPUT.COLOR_AUG_PROB,
-                color_aug_code=cfg.INPUT.get("COLOR_AUG_CODE") or None,
-                color_aug_channel_order=(
-                    "rgb" if cfg.INPUT.get("FORMAT", "BGR").upper() == "RGB"
-                    else "bgr"))
-        prep_rng = jax.random.PRNGKey(seed + 101)
-
-        def device_prep(it_, raw):
-            return device_train_batch(
-                jax.random.fold_in(prep_rng, it_), raw, *stacks, **prep_static)
-
-    def to_device(nb, it_):
-        if pool is not None:  # nb is a [B] index array into the pool
-            return pool.make_batch(nb)
-        b = shard_batch({k: jnp.asarray(v) for k, v in nb.items()
-                         if k not in ("sym_info",)}, mesh, axis)
-        if device_prep is not None:
-            # re-constrain: constants materialized inside the prep program
-            # (e.g. the no-bins gt_xyz_bin zeros) come out replicated
-            b = shard_batch(device_prep(it_, b), mesh, axis)
-        return b
 
     loader_iter = iter(loader)
     t0 = time.perf_counter()

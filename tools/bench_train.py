@@ -7,7 +7,24 @@ The step chains state through the optimizer update, so timing N sequential
 steps and fetching a scalar off the final state is an honest device fence
 even over the axon tunnel (see CLAUDE.md bench notes).
 
-Usage: python tools/bench_train.py [--batch-sizes 24,64,128] [--iters 6]
+Two modes:
+- default: ONE synthetic device-resident batch, step math only (the
+  FLOP-bound ceiling);
+- --with-loader: the REAL input path — mapper + TrainLoader + to_device +
+  step via engine.trainer.build_input_pipeline (the exact objects do_train
+  uses), against an on-disk dataset, reporting sustained ROIs/s and avg
+  host data time per step. `--pipeline` picks host mapping
+  (host|device-prep|device-aug) or the HBM-resident pool (pool); `--workers`
+  sweeps mapper thread counts to locate the host-bound -> FLOP-bound
+  crossover (reference logs data_time per iter, engine.py:237-239, but has
+  no such bench).
+
+Usage:
+  python tools/bench_train.py [--batch-sizes 24,64,128] [--iters 6]
+  python tools/bench_train.py --with-loader \
+      --config-file configs/gdrn/synth/a6_cPnP_synth.py \
+      --batch-sizes 64,256 --pipeline host,device-prep,device-aug,pool \
+      --workers 4,8 [--iters 30] [--max-records 512]
 """
 
 from __future__ import annotations
@@ -21,15 +38,111 @@ import time
 sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), ".."))
 
 
+def bench_with_loader(args):
+    """Sustained loader->to_device->step throughput on a real dataset."""
+    import jax
+    import numpy as np
+
+    from gdrnet_tpu.config import base_config, load_config
+    from gdrnet_tpu.config.config import Config, merge_dict
+    from gdrnet_tpu.engine import create_train_state, make_train_step
+    from gdrnet_tpu.engine.trainer import (build_input_pipeline,
+                                           build_train_objects,
+                                           resolve_mesh_spec)
+    from gdrnet_tpu.models import build_model
+    from gdrnet_tpu.parallel import make_mesh, replicated_sharding
+    from gdrnet_tpu.solver import build_lr_schedule, build_optimizer
+
+    for pipeline in args.pipeline.split(","):
+        for B in [int(x) for x in args.batch_sizes.split(",")]:
+            for workers in [int(x) for x in args.workers.split(",")]:
+                cfg = Config(merge_dict(
+                    base_config().to_dict(),
+                    load_config(args.config_file).to_dict()))
+                cfg.SOLVER.IMS_PER_BATCH = B
+                cfg.DATALOADER.NUM_WORKERS = workers
+                cfg.INPUT.DEVICE_PREPROCESS = pipeline in ("device-prep",
+                                                           "device-aug")
+                cfg.INPUT.DEVICE_COLOR_AUG = pipeline == "device-aug"
+                cfg.TRAIN.DEVICE_RESIDENT_POOL = pipeline == "pool"
+                cfg.TRAIN.POOL_REFRESH = pipeline == "pool"
+                meta, records, records2, models, mapper = build_train_objects(
+                    cfg, args.data_root)
+                if args.max_records and len(records) > args.max_records:
+                    records = records[:args.max_records]
+                n_total, mp, axis = resolve_mesh_spec(cfg, B, len(jax.devices()))
+                mesh = make_mesh(n_total, axis_name=axis, model_parallel=mp)
+                t_build = time.perf_counter()
+                loader, to_device, refresher = build_input_pipeline(
+                    cfg, records, records2, models, mapper, mesh, axis,
+                    seed=1)
+                loader_iter = iter(loader)
+                batch = to_device(next(loader_iter), 0)
+                build_s = time.perf_counter() - t_build  # incl. pool build
+                model = build_model(cfg)
+                opt = build_optimizer(
+                    cfg, lr_schedule=build_lr_schedule(cfg, 1e-4, 10000))
+                state = create_train_state(model, opt, batch,
+                                           jax.random.PRNGKey(0))
+                state = jax.device_put(state, replicated_sharding(mesh))
+                step = make_train_step(cfg, model, opt, mesh=mesh)
+                rng = jax.random.PRNGKey(1)
+                # warmup: compile step + prep program, fill the worker queue
+                state, m = step(state, batch, rng)
+                assert np.isfinite(float(m["total_loss"]))
+                batch = to_device(next(loader_iter), 1)
+                data_times = []
+                t0 = time.perf_counter()
+                for i in range(args.iters):
+                    state, m = step(state, batch, jax.random.fold_in(rng, i))
+                    # overlapped host fetch, exactly like do_train's hot loop
+                    td = time.perf_counter()
+                    batch = to_device(next(loader_iter), i + 2)
+                    data_times.append(time.perf_counter() - td)
+                    if refresher is not None:
+                        refresher.drain(max_chunks=1)
+                loss = float(m["total_loss"])  # host fetch fences the chain
+                dt = (time.perf_counter() - t0) / args.iters
+                if refresher is not None:
+                    refresher.stop()
+                print(json.dumps({
+                    "metric": "sustained_train_rois_per_sec",
+                    "pipeline": pipeline, "batch": B, "workers": workers,
+                    "value": round(B / dt, 1), "unit": "ROIs/s",
+                    "ms_per_step": round(dt * 1e3, 1),
+                    "data_ms_per_step": round(
+                        1e3 * sum(data_times) / len(data_times), 1),
+                    "records": len(records),
+                    "build_s": round(build_s, 1),
+                    "loss": round(loss, 4)}), flush=True)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch-sizes", default="24,64,128")
     p.add_argument("--iters", type=int, default=6)
+    p.add_argument("--with-loader", action="store_true")
+    p.add_argument("--config-file",
+                   default="configs/gdrn/synth/a6_cPnP_synth.py")
+    p.add_argument("--data-root", default="datasets/BOP_DATASETS")
+    p.add_argument("--pipeline", default="host,device-prep,device-aug,pool",
+                   help="comma list: host|device-prep|device-aug|pool")
+    p.add_argument("--workers", default="4")
+    p.add_argument("--max-records", type=int, default=0,
+                   help="truncate the record list (bounds pool build time)")
     args = p.parse_args(argv)
 
     from gdrnet_tpu.utils.device_probe import probe_device
 
     probe_device()  # the tunnel can hang at backend init; don't bind blind
+
+    if args.with_loader:
+        if args.batch_sizes == "24,64,128":
+            args.batch_sizes = "64,256"
+        if args.iters == 6:
+            args.iters = 30
+        bench_with_loader(args)
+        return
 
     import jax
     import jax.numpy as jnp
