@@ -246,12 +246,14 @@ def sample_scene(rng, zoo, K, width, height, min_n=4, max_n=8,
     one light per scene."""
     from gdrnet_tpu.data.scene_renderer import random_rotation
 
+    from gdrnet_tpu.ops.rasterizer import window_origin
+
     n = int(rng.randint(min_n, max_n + 1))
     obj_is = rng.choice(len(zoo), n)
     if n >= 2 and rng.rand() < 0.5:
         obj_is[1] = obj_is[0]  # guarantee duplicate-object scenes often
     Rs, ts, ts_norm = [], [], []
-    for _ in range(n):
+    for k in range(n):
         for attempt in range(100):
             tz = rng.triangular(radius * 2 / 3, radius, radius * 4 / 3)
             tx = rng.uniform(-0.33 * tz * width / K[0, 0],
@@ -263,9 +265,23 @@ def sample_scene(rng, zoo, K, width, height, min_n=4, max_n=8,
             if (attempt < 99 and ts_norm
                     and np.any(np.asarray(ts_norm) @ tn > 0.997)):
                 continue
+            R = random_rotation(rng)
+            # reject poses whose projected window can't fit the largest
+            # render tile (close-ups protruding past the frame edge where
+            # the clamped window origin can't slide further): a non-fitting
+            # pose would hard-fail _render_chunk, and the per-scene RNG
+            # would deterministically refail on every resume
+            if attempt < 99 and window_origin(
+                    zoo[int(obj_is[k])][1], K, R, t,
+                    height, width, 512) is None:
+                continue
+            if window_origin(zoo[int(obj_is[k])][1], K, R, t,
+                             height, width, 512) is None:
+                t = np.array([0.0, 0.0, radius * 4 / 3], np.float32)
+                tn = t / np.linalg.norm(t)
             ts_norm.append(tn)
             ts.append(t)
-            Rs.append(random_rotation(rng))
+            Rs.append(R)
             break
     light = {
         "light_pos": np.asarray(
