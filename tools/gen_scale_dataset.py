@@ -579,7 +579,10 @@ def main(argv=None):
     else:
         from gdrnet_tpu.utils.device_probe import probe_device
 
-        probe_device()
+        # require the accelerator: a wedged tunnel must fail the run loudly
+        # (the relaunch loop rides it out) rather than silently pinning a
+        # 2000-image render to the single host core
+        probe_device(max_tries=12, require=True)
 
     zoo = mesh_zoo()
     colors = _object_colors(len(zoo))
