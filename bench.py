@@ -90,10 +90,12 @@ def main():
                 ckpt, cfg_path = c_dir, c_cfg
                 print(f"auto-detected trained weights: {ckpt}", file=sys.stderr)
                 break
-        else:
-            print("WARNING: no trained checkpoint found "
-                  f"({' | '.join(c for c, _ in DEFAULT_CKPTS)}); benching "
-                  "RANDOM INIT weights", file=sys.stderr)
+    if ckpt is None:
+        # loud whether or not --config narrowed the model dims: random
+        # init is the last resort, never silent
+        print("WARNING: no trained checkpoint found "
+              f"({' | '.join(c for c, _ in DEFAULT_CKPTS)}); benching "
+              "RANDOM INIT weights", file=sys.stderr)
     if cfg_path:  # model dims of a non-flagship checkpoint
         from gdrnet_tpu.config import load_config
         from gdrnet_tpu.config.config import Config, merge_dict

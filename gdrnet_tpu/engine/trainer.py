@@ -131,6 +131,14 @@ def build_input_pipeline(cfg, records, records2, models, mapper, mesh, axis,
         if cfg.INPUT.DEVICE_PREPROCESS:
             raise NotImplementedError(
                 "DEVICE_RESIDENT_POOL maps on host; disable DEVICE_PREPROCESS")
+        if jax.process_count() > 1:
+            # the pool device_puts full host arrays under the global mesh
+            # sharding and apply_refresh reassembles the global pool from
+            # addressable shards indexed by GLOBAL shard id — both
+            # single-process assumptions (device_pool.py:100-140,240-260).
+            raise NotImplementedError(
+                "DEVICE_RESIDENT_POOL is single-process only; use the host "
+                "loader (or INPUT.DEVICE_PREPROCESS) on multi-process meshes")
         pool = DevicePool(cfg, records, mapper, models, mesh,
                           axis_name=axis, seed=seed, logger=logger)
         loader = pool_index_sampler(

@@ -167,9 +167,14 @@ class TransHeadNet(nn.Module):
             x = ConvNormAct(self.num_filters, self.kernel_size, 1, self.norm,
                             self.num_gn_groups, dtype=self.dtype, name=f"conv{i}")(x, train=train)
         x = x.reshape(x.shape[0], -1).astype(jnp.float32)
-        x = nn.relu(nn.Dense(4096, kernel_init=nn.initializers.normal(0.001))(x))
-        x = nn.relu(nn.Dense(4096, kernel_init=nn.initializers.normal(0.001))(x))
-        x = nn.Dense(self.out_channel, kernel_init=nn.initializers.normal(0.001))(x)
+        x = nn.relu(nn.Dense(4096, kernel_init=nn.initializers.normal(0.001),
+                             name="fc1")(x))
+        x = nn.relu(nn.Dense(4096, kernel_init=nn.initializers.normal(0.001),
+                             name="fc2")(x))
+        # named so the int8 path can exclude the translation regressor
+        # (models/quantize.py DEFAULT_EXCLUDE_NAMES)
+        x = nn.Dense(self.out_channel, kernel_init=nn.initializers.normal(0.001),
+                     name="fc_out")(x)
         if self.freeze:
             x = jax.lax.stop_gradient(x)
         return x

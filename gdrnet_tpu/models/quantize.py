@@ -54,9 +54,18 @@ DEFAULT_DENSE_PREFIXES = ("backbone", "rot_head", "pnp_net", "trans_head")
 # legacy alias (single-set callers): the conv set
 DEFAULT_QUANT_PREFIXES = DEFAULT_CONV_PREFIXES
 # never quantize: the f32 emit layer feeding the softmax/argmax decodes,
-# and the final pose regressors (tiny 256->{rot_dim,3} matmuls — zero
-# throughput to win, direct rounding error on the pose outputs)
-DEFAULT_EXCLUDE_NAMES = ("out_conv", "fc_r", "fc_t")
+# and the final pose regressors (tiny matmuls — zero throughput to win,
+# direct rounding error on the pose outputs): conv_pnp fc_r/fc_t,
+# SimplePointPnPNet fc_pose, TransHeadNet fc_out.
+DEFAULT_EXCLUDE_NAMES = ("out_conv", "fc_r", "fc_t", "fc_pose", "fc_out")
+# Dense-only extra excludes: the point-MLP layers of PointPnPNet /
+# SimplePointPnPNet are Dense layers named conv1-3 (+conv_topk/conv_sp
+# pool mixers) that consume the DECODED coordinate maps — the same
+# rounding-sensitivity that keeps ConvPnPNet's convs off the int8 path.
+# Applied only to nn.Dense, so backbone/rot_head *convs* that happen to
+# share these names are unaffected.
+DENSE_EXTRA_EXCLUDE_NAMES = ("conv1", "conv2", "conv3", "conv_topk",
+                             "conv_sp")
 
 
 def _path_str(module: nn.Module) -> str:
@@ -111,7 +120,9 @@ def _resolve_prefix_sets(prefixes, dense_prefixes):
 
 def _quantizable(module, path, conv_prefixes, dense_prefixes, exclude_names):
     if isinstance(module, nn.Dense):
-        return _should_quantize(path, dense_prefixes, exclude_names)
+        return _should_quantize(
+            path, dense_prefixes,
+            tuple(exclude_names) + DENSE_EXTRA_EXCLUDE_NAMES)
     if isinstance(module, nn.Conv):
         return _should_quantize(path, conv_prefixes, exclude_names)
     return False

@@ -186,7 +186,9 @@ def convert_torch_state_dict(sd: dict, head_num_layers: int = 3,
                 else:
                     path, kind = ["trans_head", f"conv{i // 3}", "BatchNorm_0"], "bn"
             elif parts[1].startswith("fc"):
-                path, kind = ["trans_head", f"Dense_{int(parts[1][2:]) - 1}"], "lin"
+                # torch fc1/fc2/fc3 -> flax fc1/fc2/fc_out (heads.py)
+                name = {1: "fc1", 2: "fc2", 3: "fc_out"}[int(parts[1][2:])]
+                path, kind = ["trans_head", name], "lin"
             else:
                 raise KeyError(f"unmapped trans head key: {key}")
         else:
@@ -206,7 +208,7 @@ def convert_torch_state_dict(sd: dict, head_num_layers: int = 3,
         elif kind == "lin":
             if field == "weight":
                 is_pnp_fc1 = path[-2:] == ["pnp_net", "fc1"] or path == ["pnp_net", "fc1"]
-                is_trans_fc1 = path == ["trans_head", "Dense_0"]
+                is_trans_fc1 = path == ["trans_head", "fc1"]
                 if is_pnp_fc1:
                     chw = pnp_fc1_chw or _infer_chw(sd, "pnp_net.features", v)
                     _set(params, path + ["kernel"], _lin_w_from_chw(v, *chw))

@@ -53,6 +53,47 @@ def test_calibration_covers_quant_convs(gdrn_setup):
     assert not any(p.endswith(("fc_r", "fc_t")) for p in paths)
 
 
+@pytest.mark.parametrize("head", ["SimplePointPnPNet", "trans_head"])
+def test_calibration_excludes_pose_outputs(head):
+    """Non-default heads: the int8 path must keep pose regressors and the
+    coordinate-consuming point-MLP Dense layers (named conv1-3) off the
+    quantized set (ADVICE r3: fc_pose / trans_head fc_out / point conv1-3)."""
+    from gdrnet_tpu.config import base_config
+    from gdrnet_tpu.models import build_model
+    from gdrnet_tpu.data import synthetic_roi_batch
+    from gdrnet_tpu.models.quantize import calibrate_act_scales
+    from gdrnet_tpu.engine.steps import _model_kwargs
+
+    cfg = base_config()
+    cfg.MODEL.CDPN.BACKBONE.NUM_LAYERS = 18
+    cfg.MODEL.CDPN.BACKBONE.INPUT_RES = 64
+    cfg.MODEL.CDPN.BACKBONE.OUTPUT_RES = 16
+    if head == "SimplePointPnPNet":
+        cfg.MODEL.CDPN.PNP_NET.PNP_HEAD_CFG["type"] = "SimplePointPnPNet"
+    else:
+        cfg.MODEL.CDPN.PNP_NET.R_ONLY = True
+        cfg.MODEL.CDPN.TRANS_HEAD.ENABLED = True
+        cfg.MODEL.CDPN.TRANS_HEAD.FREEZE = False
+    model = build_model(cfg)
+    b = synthetic_roi_batch(batch_size=2, input_res=64, out_res=16, seed=0)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           batch["roi_img"], **_model_kwargs(batch),
+                           train=False)
+    paths = set(calibrate_act_scales(model, variables, [batch]))
+    # no pose-output regressor is ever quantized
+    assert not any(p.endswith(("fc_r", "fc_t", "fc_pose", "fc_out"))
+                   for p in paths), paths
+    if head == "SimplePointPnPNet":
+        # point-MLP Dense layers consume decoded coordinates — excluded
+        assert not any(p.startswith("pnp_net/conv") for p in paths), paths
+        assert "pnp_net/fc1" in paths and "pnp_net/fc2" in paths
+    else:
+        # trans_head: the flattened FC chain quantizes, the regressor not
+        assert "trans_head/fc1" in paths and "trans_head/fc2" in paths
+        assert "trans_head/fc_out" not in paths
+
+
 def test_int8_predict_tracks_bf16(gdrn_setup):
     from gdrnet_tpu.engine.steps import make_predict_step
     from gdrnet_tpu.models.quantize import calibrate_act_scales

@@ -100,8 +100,21 @@ print(f"train time: {time.time()-t0:.0f}s", flush=True)
 
 if "--save-ckpt" in sys.argv:  # feed `bench.py --ckpt` real trained weights
     from gdrnet_tpu.engine.checkpoint import CheckpointManager
-    ckpt_dir = sys.argv[sys.argv.index("--save-ckpt") + 1]
+    arg = sys.argv[sys.argv.index("--save-ckpt") + 1]
+    # bench.py auto-detect expects <dir>/ckpt + <dir>/config.py (model dims)
+    ckpt_dir = arg if osp.basename(arg.rstrip("/")) == "ckpt" else osp.join(arg, "ckpt")
     mgr = CheckpointManager(ckpt_dir); mgr.save(state); mgr.wait()
+    with open(osp.join(osp.dirname(osp.abspath(ckpt_dir)), "config.py"), "w") as f:
+        f.write(
+            "# auto-written by tools/validate_overfit.py --save-ckpt: model\n"
+            "# dims of the saved fixture checkpoint (for bench.py --ckpt).\n"
+            "MODEL = dict(CDPN=dict(\n"
+            "    BACKBONE=dict(NUM_LAYERS=18),\n"
+            "    ROT_HEAD=dict(NUM_CLASSES=2, NUM_REGIONS=8),\n"
+            "    PNP_NET=dict(WITH_2D_COORD=True, REGION_ATTENTION=True,\n"
+            "                 PM_LOSS_SYM=True, PM_NORM_BY_EXTENT=True,\n"
+            "                 CENTROID_LW=1.0, Z_LW=1.0),\n"
+            "))\n")
     print("saved checkpoint to", ckpt_dir, flush=True)
 
 results = do_test(cfg, model, state.variables(), models, records, output_dir="/tmp/fixture_overfit_out")
