@@ -143,7 +143,8 @@ class DevicePool:
     """
 
     def __init__(self, cfg, records, mapper, models, mesh,
-                 axis_name: str = "data", seed: int = 0, logger=None):
+                 axis_name: str = "data", seed: int = 0, logger=None,
+                 abort_check=None):
         self.mesh = mesh
         self.axis_name = axis_name
         n_shards = int(mesh.shape[axis_name])
@@ -173,7 +174,13 @@ class DevicePool:
 
         if logger is not None:
             logger.info(f"pool: mapping {n_use} records once ...")
-        rows = [self.map_row(i, seed) for i in range(n_use)]
+        # the one-time fill is minutes of host work on large sets; poll
+        # abort_check so a preemption signal doesn't have to wait it out
+        rows = []
+        for i in range(n_use):
+            if abort_check is not None and i % 256 == 0 and abort_check():
+                raise InterruptedError("pool build aborted (preemption)")
+            rows.append(self.map_row(i, seed))
         host = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
         del rows
         nbytes = sum(v.nbytes for v in host.values())

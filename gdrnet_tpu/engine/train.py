@@ -55,7 +55,11 @@ def main(argv=None):
 
     from gdrnet_tpu.utils.device_probe import probe_device
 
-    probe_device()  # the tunnel can hang at backend init; don't bind blind
+    # the tunnel can hang at backend init; don't bind blind. require=True:
+    # real configs are hours of accelerator work — silently falling back to
+    # host cpu is a wedge, not a fallback. Pin jax to cpu explicitly (or run
+    # under the tests' conftest) to train on host on purpose.
+    probe_device(require=True)
 
     from gdrnet_tpu.engine.trainer import do_train
     from gdrnet_tpu.engine.tester import do_test
@@ -94,7 +98,13 @@ def main(argv=None):
         print(results["_summary"])
         return results
 
-    state, models = do_train(cfg, resume=args.resume, data_root=args.data_root)
+    state, models, was_preempted = do_train(cfg, resume=args.resume,
+                                            data_root=args.data_root)
+    if was_preempted:
+        # exit promptly so the scheduler can reschedule; eval belongs to the
+        # resumed run (or --eval-only), not the teardown window
+        print("preempted: skipping post-train eval; resume with --resume")
+        return None
     if cfg.DATASETS.TEST:
         meta, records = resolve(cfg.DATASETS.TEST[0], args.data_root)
         model = build_model(cfg)

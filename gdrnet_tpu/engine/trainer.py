@@ -105,7 +105,7 @@ def resolve_mesh_spec(cfg, ims_per_batch: int, n_avail: int,
 
 
 def build_input_pipeline(cfg, records, records2, models, mapper, mesh, axis,
-                         seed: int, logger=None):
+                         seed: int, logger=None, abort_check=None):
     """The training input path: (loader, to_device, refresher).
 
     loader yields host batches (or pool index arrays); to_device(nb, it)
@@ -140,7 +140,8 @@ def build_input_pipeline(cfg, records, records2, models, mapper, mesh, axis,
                 "DEVICE_RESIDENT_POOL is single-process only; use the host "
                 "loader (or INPUT.DEVICE_PREPROCESS) on multi-process meshes")
         pool = DevicePool(cfg, records, mapper, models, mesh,
-                          axis_name=axis, seed=seed, logger=logger)
+                          axis_name=axis, seed=seed, logger=logger,
+                          abort_check=abort_check)
         loader = pool_index_sampler(
             pool, ims_per_batch, seed,
             sampler_name=cfg.DATALOADER.SAMPLER_TRAIN,
@@ -210,8 +211,11 @@ def build_input_pipeline(cfg, records, records2, models, mapper, mesh, axis,
 
 def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS",
              max_iters_override: int | None = None, eval_fn=None):
-    """Returns the final train state. eval_fn(cfg, state, models) is called
-    every TEST.EVAL_PERIOD epochs if provided (engine.py:285-292)."""
+    """Returns (state, models, preempted). eval_fn(cfg, state, models) is
+    called every TEST.EVAL_PERIOD epochs if provided (engine.py:285-292).
+    preempted=True means a SIGTERM/SIGINT ended the run at an iteration
+    boundary (state checkpointed; resume with --resume) — or during the
+    data warmup, in which case state is None and nothing was saved."""
     out_dir = cfg.OUTPUT_DIR if cfg.OUTPUT_DIR != "auto" else osp.join(
         cfg.OUTPUT_ROOT, cfg.EXP_NAME or "gdrn")
     logger = setup_logger(out_dir)
@@ -266,9 +270,15 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
         cfg, ims_per_batch, len(jax.devices()), logger=logger)
     mesh = make_mesh(n_total, axis_name=axis, model_parallel=mp)
 
-    loader, to_device, refresher = build_input_pipeline(
-        cfg, records, records2, models, mapper, mesh, axis, seed,
-        logger=logger)
+    try:
+        loader, to_device, refresher = build_input_pipeline(
+            cfg, records, records2, models, mapper, mesh, axis, seed,
+            logger=logger, abort_check=lambda: preempted["flag"])
+    except InterruptedError:
+        logger.warning("preempted during pool build; nothing saved")
+        for sig, h in prev_handlers.items():
+            signal.signal(sig, h)
+        return None, models, True
     model = build_model(cfg)
     base_lr = dict(cfg.SOLVER.OPTIMIZER_CFG).get("lr", 1e-4)
     # with gradient accumulation the inner optimizer (optax.MultiSteps)
@@ -346,7 +356,7 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
             logger.warning(f"preempted: saved step {it}; resume with --resume")
             for sig, h in prev_handlers.items():
                 signal.signal(sig, h)
-            return state, models
+            return state, models, True
         step_rng = jax.random.fold_in(rng, it)
         t_step = time.perf_counter()
         state, metrics = train_step(state, batch, step_rng)
@@ -434,4 +444,4 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
         signal.signal(sig, h)
     ckpt.save(state, total_iters)
     ckpt.wait()
-    return state, models
+    return state, models, False

@@ -47,6 +47,7 @@ class ConsoleWriter:
 
     def __init__(self, max_iter: int):
         self.max_iter = max_iter
+        self._last: tuple | None = None  # (iter, wall time) at last write
 
     @staticmethod
     def _mem() -> str:
@@ -63,11 +64,23 @@ class ConsoleWriter:
         return ""
 
     def write(self, ev: EventLog) -> None:
+        import time as _time
+
         it = ev.iter
         data_t = ev.mean("time/data")
         step_t = ev.mean("time/step")
+        # ETA from the wall-clock rate between writes: the trainer only
+        # syncs with the device at print boundaries, so the sampled "step"
+        # time there includes the drain of every pipelined iter since the
+        # last boundary — extrapolating it per-iter overstates ETA by ~the
+        # print frequency. Wall-clock delta / iter delta is the true rate.
+        now = _time.perf_counter()
+        per_iter = step_t
+        if self._last is not None and it > self._last[0]:
+            per_iter = (now - self._last[1]) / (it - self._last[0])
+        self._last = (it, now)
         eta = datetime.timedelta(
-            seconds=int(step_t * max(self.max_iter - it, 0))) if step_t else "?"
+            seconds=int(per_iter * max(self.max_iter - it, 0))) if per_iter else "?"
         losses = "  ".join(
             f"{k.removeprefix('loss_')}: {ev.median(k):.4g}"
             for k in sorted(ev.latest) if k.startswith("loss") or k == "total_loss")

@@ -78,8 +78,8 @@ def test_train_eval_resume(fixture_env, tmp_path):
     cfg.TRAIN.PROFILE_START, cfg.TRAIN.PROFILE_STOP = 10, 12
 
     # --- train 40 iters, capture metrics.json for the loss trajectory
-    state, models = do_train(cfg, max_iters_override=60)
-    assert int(state.step) == 60
+    state, models, preempted = do_train(cfg, max_iters_override=60)
+    assert int(state.step) == 60 and not preempted
 
     import glob
     assert glob.glob(str(tmp_path / "trace" / "**" / "*.xplane.pb"),
@@ -203,8 +203,8 @@ def test_train_device_preprocess(fixture_env, tmp_path):
 
     cfg = _tiny_cfg(tmp_path / "out_devprep")
     cfg.INPUT.DEVICE_PREPROCESS = True
-    state, models = do_train(cfg, max_iters_override=60)
-    assert int(state.step) == 60
+    state, models, preempted = do_train(cfg, max_iters_override=60)
+    assert int(state.step) == 60 and not preempted
 
     import json
     with open(osp.join(cfg.OUTPUT_DIR, "metrics.json")) as f:
@@ -244,9 +244,10 @@ def test_train_preemption_checkpoint(fixture_env, tmp_path):
     t = threading.Thread(target=_fire_after_first_iter, daemon=True)
     t.start()
     try:
-        state, models = do_train(cfg, max_iters_override=2000)
+        state, models, preempted = do_train(cfg, max_iters_override=2000)
     finally:
         stop.set()
+    assert preempted, "do_train must report the preemption"
     step = int(state.step)
     assert 0 < step < 2000, f"expected preemption mid-run, got step {step}"
     mgr = CheckpointManager(osp.join(cfg.OUTPUT_DIR, "ckpt"))

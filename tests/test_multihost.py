@@ -113,7 +113,7 @@ cfg.SOLVER.CHECKPOINT_BY_EPOCH = False
 cfg.DATALOADER.NUM_WORKERS = 1  # deterministic: identical batches per host
 cfg.TRAIN.PRINT_FREQ = 2
 
-state, models = do_train(cfg, max_iters_override=4)
+state, models, _ = do_train(cfg, max_iters_override=4)
 k = np.asarray(state.params["pnp_net"]["fc_r"]["kernel"])
 with open(f"{outdir}/train_rank{pid}.json", "w") as f:
     json.dump({"step": int(state.step), "k_sum": float(k.sum()),
