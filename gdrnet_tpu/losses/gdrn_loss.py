@@ -89,7 +89,11 @@ def gdrn_loss(cfg, out: dict, batch: dict) -> dict[str, jnp.ndarray]:
             raise NotImplementedError(f"unknown mask loss type: {rh.MASK_LOSS_TYPE}")
         loss_dict["loss_mask"] = loss_dict["loss_mask"] * rh.MASK_LW
 
-    # region CE (GDRN.py:388-400)
+    # region CE (GDRN.py:388-400). NOTE the reference-faithful floor: bg
+    # pixels keep their mask-zeroed (uniform) logits in the sum but only
+    # visible pixels are in the denominator, so loss_region converges to
+    # ~ln(R+1) * (total_px / visib_px), not 0 — e.g. ~16 for 64 regions at
+    # ~25% visibility. Expected; not a training defect.
     if not rh.FREEZE:
         gt_mask_region = gt_masks[rh.REGION_LOSS_MASK_GT]
         if rh.REGION_LOSS_TYPE == "CE":
