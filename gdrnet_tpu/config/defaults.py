@@ -91,6 +91,13 @@ _DEFAULTS = dict(
         MAX_TO_KEEP=5,
         AMP=dict(ENABLED=False),  # reference key; on TPU means bf16 compute
         GRAD_CLIP=0.0,
+        # skip the optimizer update (params/opt/BN unchanged) when the loss
+        # or any grad is non-finite — the reference's AMP GradScaler skips
+        # inf/nan steps the same way (torch.cuda.amp in main_gdrn.py:141);
+        # metrics gain "nonfinite_skip" and the trainer raises only when
+        # SKIP_NONFINITE_PATIENCE consecutive print boundaries are skipped.
+        SKIP_NONFINITE=True,
+        SKIP_NONFINITE_PATIENCE=5,
         # >1: average grads over k micro-batches per optimizer step
         GRAD_ACCUM_STEPS=1,
     ),

@@ -47,6 +47,19 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from gdrnet_tpu.ops.warp import affine_params_batch
 
 
+def _np_abs_sum(v: np.ndarray) -> float:
+    """Host-side |sum| checksum in f64 (exact enough to compare against the
+    device's f32 tree-reduction at ~1e-3 relative)."""
+    if v.dtype.kind == "u":
+        return float(np.sum(v, dtype=np.float64))
+    return float(np.sum(np.abs(v.astype(np.float32)), dtype=np.float64))
+
+
+def _sums_match(got: dict, want: dict, rtol: float = 1e-3) -> list:
+    return [k for k in want
+            if abs(float(got[k]) - want[k]) > rtol * max(abs(want[k]), 1.0)]
+
+
 # ---------------------------------------------------------------- encode
 
 def encode_sample(s: dict, pixel_mean, pixel_std) -> dict:
@@ -187,10 +200,33 @@ class DevicePool:
         if logger is not None:
             logger.info(f"pool: uploading {nbytes / 2**20:.0f} MiB "
                         f"({n_use} rows x {nbytes // max(n_use, 1) // 1024} KiB)")
-        self.pool = {k: jax.device_put(v, NamedSharding(mesh, P(axis_name)))
-                     for k, v in host.items()}
+        @jax.jit
+        def _pool_sums(pool):
+            return {k: jnp.sum(jnp.abs(v.astype(jnp.float32)))
+                    for k, v in pool.items()}
+
+        self._pool_sums = _pool_sums
+
+        # The host->device link can tear transfers silently (readiness
+        # signals are unreliable over remote-device tunnels — the same
+        # effect that forced fenced checkpoint saves, engine/checkpoint.py).
+        # Verify the resident bytes against host checksums; a torn slot
+        # would otherwise poison ~1 batch in N/B for the whole run.
+        want = {k: _np_abs_sum(v) for k, v in host.items()}
+        for attempt in range(3):
+            self.pool = {k: jax.device_put(v, NamedSharding(mesh, P(axis_name)))
+                         for k, v in host.items()}
+            bad = _sums_match(
+                {k: float(s) for k, s in _pool_sums(self.pool).items()}, want)
+            if not bad:
+                break
+            if logger is not None:
+                logger.warning(f"pool: upload checksum mismatch on {bad}, "
+                               f"re-uploading (attempt {attempt + 1})")
+        else:
+            raise RuntimeError(f"pool upload torn on keys {bad} after retries "
+                               f"— device link unreliable, refusing to train")
         del host
-        jax.block_until_ready(self.pool)
 
         spec = P(axis_name)
         rep = P()
@@ -212,7 +248,13 @@ class DevicePool:
 
         @partial(jax.jit, donate_argnums=0)
         def _scatter_local(block, idx_l, rows):
-            return {k: block[k].at[idx_l].set(rows[k]) for k in block}
+            new = {k: block[k].at[idx_l].set(rows[k]) for k in block}
+            # read-back checksum of the slots just written: verifies what
+            # actually LANDED in the pool (end state), catching a torn
+            # rows upload or scatter; compared on a later drain
+            sums = {k: jnp.sum(jnp.abs(new[k][idx_l].astype(jnp.float32)))
+                    for k in new}
+            return new, sums
 
         self._scatter_local = _scatter_local
 
@@ -244,11 +286,17 @@ class DevicePool:
 
     # ------------------------------------------------------------ refresh
 
-    def apply_refresh(self, shard: int, local_idx: np.ndarray, rows: dict):
+    def apply_refresh(self, shard: int, local_idx: np.ndarray, rows: dict
+                      ) -> dict:
         """Replace `local_idx` slots of one shard with freshly mapped rows.
         Only that device's buffer is touched (donated scatter); the global
         arrays are reassembled from the existing per-device buffers —
-        zero-copy for the untouched shards."""
+        zero-copy for the untouched shards.
+
+        Returns the read-back checksums of the written slots (device
+        scalars, NOT fetched here — fetching would sync the dispatch queue;
+        the caller compares them against `expected_sums(rows)` once they
+        resolve, and re-applies on mismatch)."""
         # order per-device buffers by their slot offset (single-process:
         # addressable shards cover the whole array)
         bufs = {
@@ -257,7 +305,7 @@ class DevicePool:
             for k, arr in self.pool.items()}
         dev = bufs["cls"][shard].devices().pop()
         block = {k: b[shard] for k, b in bufs.items()}
-        new_block = self._scatter_local(
+        new_block, sums = self._scatter_local(
             block, jax.device_put(np.asarray(local_idx, np.int32), dev),
             {k: jax.device_put(v, dev) for k, v in rows.items()})
         for k, arr_new in new_block.items():
@@ -265,6 +313,11 @@ class DevicePool:
             bufs[k][shard] = arr_new
             self.pool[k] = jax.make_array_from_single_device_arrays(
                 arr.shape, arr.sharding, bufs[k])
+        return sums
+
+    @staticmethod
+    def expected_sums(rows: dict) -> dict:
+        return {k: _np_abs_sum(v) for k, v in rows.items()}
 
 
 def pool_index_sampler(pool: DevicePool, batch_size: int, seed: int,
@@ -306,13 +359,19 @@ class PoolRefresher:
     frozen pool would lose."""
 
     def __init__(self, pool: DevicePool, chunk: int = 64, max_queue: int = 4,
-                 seed: int = 1):
+                 seed: int = 1, logger=None):
         self.pool = pool
         self.chunk = chunk
         self.q: queue.Queue = queue.Queue(maxsize=max_queue)
         self._stop = threading.Event()
         self._seed = seed
         self.refreshed = 0
+        self.torn_healed = 0
+        self.torn_dropped = 0
+        self._logger = logger
+        # chunks applied but not yet checksum-verified:
+        # (sums_future, expected, shard, local, stacked, attempt)
+        self._pending: list = []
         self._thread = threading.Thread(target=self._produce, daemon=True)
         self._thread.start()
 
@@ -337,14 +396,49 @@ class PoolRefresher:
                     continue
 
     def drain(self, max_chunks: int = 1):
-        """Apply up to max_chunks ready refresh chunks (call between steps)."""
+        """Apply up to max_chunks ready refresh chunks (call between steps),
+        and settle any resolved upload-verification checksums — torn
+        uploads (unreliable link) are re-applied, twice-torn chunks dropped
+        with the old slot content intact."""
+        self._settle_pending()
         for _ in range(max_chunks):
             try:
                 shard, local, rows = self.q.get_nowait()
             except queue.Empty:
                 return
-            self.pool.apply_refresh(shard, local, rows)
-            self.refreshed += len(local)
+            self._apply(shard, local, rows, attempt=0)
+
+    def _apply(self, shard, local, rows, attempt: int):
+        sums = self.pool.apply_refresh(shard, local, rows)
+        self._pending.append((sums, self.pool.expected_sums(rows),
+                              shard, local, rows, attempt))
+
+    def _settle_pending(self, force: bool = False):
+        pending, self._pending = self._pending, []
+        still = []
+        for sums, want, shard, local, rows, attempt in pending:
+            # is_ready is only a hint (it can fire early over the tunnel);
+            # the FETCH is the reliable primitive — fetching early just
+            # costs a sync, never a wrong value
+            if not force and not all(s.is_ready() for s in sums.values()):
+                still.append((sums, want, shard, local, rows, attempt))
+                continue
+            bad = _sums_match({k: float(s) for k, s in sums.items()}, want)
+            if not bad:
+                self.refreshed += len(local)
+                continue
+            if attempt >= 1:
+                self.torn_dropped += 1
+                if self._logger is not None:
+                    self._logger.warning(
+                        f"pool refresh: chunk torn twice on {bad}, dropped")
+                continue
+            self.torn_healed += 1
+            if self._logger is not None:
+                self._logger.warning(
+                    f"pool refresh: upload torn on {bad}, re-applying")
+            self._apply(shard, local, rows, attempt + 1)
+        self._pending.extend(still)
 
     def stop(self):
         self._stop.set()

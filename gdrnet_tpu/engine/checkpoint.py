@@ -13,9 +13,60 @@ from __future__ import annotations
 import os
 import os.path as osp
 
+import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 from gdrnet_tpu.engine.train_state import GDRNTrainState
+
+
+def _is_array(x) -> bool:
+    return isinstance(x, (jax.Array, np.ndarray))
+
+
+# Jitted programs reused across saves/restores (stable shapes -> one
+# compile): sums of |x| in f32. |x| avoids cancellation so the host and
+# device sums agree to ~1e-3 relative even across backends.
+@jax.jit
+def _leaf_checksums(leaves):
+    import jax.numpy as jnp
+
+    return jnp.stack(
+        [jnp.sum(jnp.abs(jnp.asarray(x, jnp.float32))) for x in leaves])
+
+
+@jax.jit
+def _total_checksum(leaves):
+    import jax.numpy as jnp
+
+    return sum(jnp.sum(jnp.abs(jnp.asarray(x, jnp.float32))) for x in leaves)
+
+
+def _host_checksums(leaves) -> list[float]:
+    return [float(np.sum(np.abs(np.asarray(x, np.float64)), dtype=np.float64))
+            for x in leaves]
+
+
+def fenced_host_snapshot(tree):
+    """Copy a pytree of device arrays to host numpy, CORRECTLY, even over
+    remote-device tunnels whose readiness signals are unreliable.
+
+    Why this exists: the train step donates the state buffers
+    (steps.py donate_argnums=0), and orbax's save path trusts
+    `block_until_ready` before copying device->host. Over the axon tunnel
+    readiness can be reported before execution finishes (the same effect
+    forces bench.py to fence with host fetches), so the copy can race the
+    donated-buffer reuse of subsequent steps and tear the checkpoint —
+    observed in practice as a saved state whose loss is near random init
+    while the live state trains on fine. Fetching a data-dependent scalar
+    of every leaf forces real completion before the copies start; the host
+    snapshot then makes the save independent of live device buffers."""
+    dev = [l for l in jax.tree_util.tree_leaves(tree)
+           if isinstance(l, jax.Array)]
+    if dev:
+        float(_total_checksum(dev))  # host fetch = the only reliable fence
+    return jax.tree_util.tree_map(
+        lambda l: np.asarray(l) if _is_array(l) else l, tree)
 
 
 class CheckpointManager:
@@ -30,6 +81,12 @@ class CheckpointManager:
 
     def save(self, state: GDRNTrainState, step: int | None = None) -> None:
         step = int(state.step) if step is None else step
+        if jax.process_count() == 1:
+            # single-process: snapshot to host first (see fenced_host_snapshot)
+            state = fenced_host_snapshot(state)
+        # multi-process saves stay on-device: each host owns only its
+        # addressable shards and orbax's collective save handles them;
+        # multihost pods are locally attached, not tunneled.
         self.mgr.save(step, args=ocp.args.StandardSave(state))
 
     def wait(self) -> None:
@@ -41,13 +98,50 @@ class CheckpointManager:
     def resume_or_load(self, state: GDRNTrainState, resume: bool = True
                        ) -> tuple[GDRNTrainState, int]:
         """Returns (state, start_iter). With resume=False or no checkpoint,
-        start at 0 (reference resume_or_load, my_checkpoint.py + engine.py:204)."""
+        start at 0 (reference resume_or_load, my_checkpoint.py + engine.py:204).
+
+        Single-process restores are verified: the checkpoint is read into
+        host memory, placed onto devices with the template's shardings, and
+        per-leaf |sum| checksums of the device copies are compared against
+        the host bytes (the host->device direction rides the same tunnel
+        that tore the save direction; a silent upload tear would train on
+        subtly-wrong weights)."""
         step = self.latest_step()
         if not resume or step is None:
             return state, 0
-        restored = self.mgr.restore(
-            step, args=ocp.args.StandardRestore(state))
-        return restored, int(step)
+        if jax.process_count() > 1:
+            restored = self.mgr.restore(
+                step, args=ocp.args.StandardRestore(state))
+            return restored, int(step)
+
+        leaves, treedef = jax.tree_util.tree_flatten(state)
+        arr_idx = [i for i, l in enumerate(leaves) if isinstance(l, jax.Array)]
+        host_tmpl = jax.tree_util.tree_unflatten(
+            treedef, [np.zeros(l.shape, l.dtype) if isinstance(l, jax.Array)
+                      else l for l in leaves])
+        restored_host = self.mgr.restore(
+            step, args=ocp.args.StandardRestore(host_tmpl))
+        rleaves = jax.tree_util.tree_leaves(restored_host)
+        assert len(rleaves) == len(leaves), "restored tree shape drifted"
+        want = _host_checksums([rleaves[i] for i in arr_idx])
+
+        last_err = None
+        for attempt in range(2):
+            placed = [jax.device_put(r, l.sharding)
+                      if isinstance(l, jax.Array) else r
+                      for r, l in zip(rleaves, leaves)]
+            got = np.asarray(
+                _leaf_checksums([placed[i] for i in arr_idx])).tolist()
+            bad = [i for i, (g, w) in enumerate(zip(got, want))
+                   if abs(g - w) > 1e-3 * max(abs(w), 1.0) + 1e-3]
+            if not bad:
+                return jax.tree_util.tree_unflatten(treedef, placed), int(step)
+            last_err = (f"restore verify failed (attempt {attempt + 1}): "
+                        f"{len(bad)} leaves mismatch, first {bad[:5]}")
+        raise RuntimeError(
+            f"checkpoint step {step}: host->device upload checksum mismatch "
+            f"after retry — {last_err}; the device link is unreliable, "
+            f"refusing to train on torn weights")
 
 
 def load_variables_for_inference(ckpt_dir: str) -> dict:

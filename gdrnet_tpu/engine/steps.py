@@ -57,19 +57,37 @@ def make_train_step(cfg, model, optimizer: optax.GradientTransformation,
         new_stats = mutated.get("batch_stats", batch_stats) if batch_stats else {}
         return total, (loss_dict, new_stats, out)
 
+    skip_nonfinite = bool(cfg.SOLVER.get("SKIP_NONFINITE", True))
+
     def train_step(state: GDRNTrainState, batch: dict, rng: jax.Array):
         (total, (loss_dict, new_stats, out)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
                                    rng, state.step)
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(loss_dict)
+        if skip_nonfinite:
+            # reference AMP GradScaler semantics (main_gdrn.py:141): a step
+            # whose loss/grads are inf/nan is skipped wholesale — params,
+            # optimizer state AND the forward's mutated BN stats (a
+            # non-finite forward poisons those too). One poisoned batch
+            # (e.g. a torn pool-refresh upload) then costs one step, not
+            # the run; the trainer watches metrics["nonfinite_skip"].
+            finite = jnp.isfinite(total)
+            for g in jax.tree.leaves(grads):
+                finite = finite & jnp.all(jnp.isfinite(g))
+            keep = lambda new, old: jax.tree.map(
+                lambda n, o: jnp.where(finite, n, o), new, old)
+            new_params = keep(new_params, state.params)
+            new_opt_state = keep(new_opt_state, state.opt_state)
+            new_stats = keep(new_stats, state.batch_stats)
+            metrics["nonfinite_skip"] = (~finite).astype(jnp.float32)
         new_state = GDRNTrainState(
             step=state.step + 1,
             params=new_params,
             batch_stats=new_stats,
             opt_state=new_opt_state,
         )
-        metrics = dict(loss_dict)
         metrics["total_loss"] = total
         # train-time pose error vis (reference compute_mean_re_te, GDRN.py:246)
         from gdrnet_tpu.ops.rotation import rot_angle_deg

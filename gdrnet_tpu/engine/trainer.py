@@ -149,7 +149,7 @@ def build_input_pipeline(cfg, records, records2, models, mapper, mesh, axis,
         if cfg.TRAIN.get("POOL_REFRESH", True):
             refresher = PoolRefresher(
                 pool, chunk=int(cfg.TRAIN.get("POOL_REFRESH_CHUNK", 64) or 64),
-                seed=seed + 1)
+                seed=seed + 1, logger=logger)
     else:
         loader = TrainLoader(
             records, mapper, ims_per_batch,
@@ -336,6 +336,9 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
 
     prof_dir, prof_active = cfg.TRAIN.PROFILE_DIR, False
     batch = batch_dev
+    skip_guard = bool(cfg.SOLVER.get("SKIP_NONFINITE", True))
+    skip_patience = int(cfg.SOLVER.get("SKIP_NONFINITE_PATIENCE", 5))
+    skipped_boundaries = 0  # consecutive print boundaries with a skip
     for it in range(start_iter, total_iters):
         # profiler window: trace a few steady-state iters (TRAIN.PROFILE_*)
         if prof_dir and it == cfg.TRAIN.PROFILE_START and not prof_active:
@@ -379,7 +382,22 @@ def do_train(cfg, resume: bool = False, data_root: str = "datasets/BOP_DATASETS"
             total = float(metrics["total_loss"])  # forces completion
             step_time = time.perf_counter() - t_step
             if not np.isfinite(total):  # NaN tripwire (engine.py:271)
-                raise FloatingPointError(f"non-finite loss at iter {it}: {total}")
+                if not skip_guard:
+                    raise FloatingPointError(
+                        f"non-finite loss at iter {it}: {total}")
+                # SKIP_NONFINITE reverted this step's update (steps.py); a
+                # lone poisoned batch costs one step — only a persistent
+                # streak (model or data wedged) should kill the run
+                skipped_boundaries += 1
+                logger.warning(
+                    f"non-finite loss at iter {it} — update skipped "
+                    f"({skipped_boundaries}/{skip_patience} boundaries)")
+                if skipped_boundaries >= skip_patience:
+                    raise FloatingPointError(
+                        f"non-finite loss at {skip_patience} consecutive "
+                        f"print boundaries (iter {it}) — wedged, aborting")
+            else:
+                skipped_boundaries = 0
             ev.put(total_loss=total, lr=float(schedule(it // accum)),
                    **{k: float(v) for k, v in metrics.items() if k != "total_loss"})
             ev.put(**{"time/step": step_time, "time/data": data_time})

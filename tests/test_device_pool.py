@@ -139,6 +139,49 @@ def test_pool_refresh_updates_slots(pool_env):
     assert ref.refreshed >= 2
 
 
+def test_pool_refresh_heals_torn_upload(pool_env):
+    """A refresh chunk whose device bytes mismatch the host checksum
+    (torn upload over an unreliable link) is re-applied; a twice-torn chunk
+    is dropped with the old slot content intact."""
+    cfg, meta, records, models, mapper = pool_env
+    pool = DevicePool(cfg, records, mapper, models, make_mesh(1), seed=SEED)
+    ref = PoolRefresher(pool, chunk=2, seed=3)
+    ref.stop()  # drive the apply/settle machinery directly, no thread
+
+    rows = [pool.map_row(s, seed=SEED + 9) for s in (1, 3)]
+    stacked = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+
+    real_scatter = pool._scatter_local
+    tears = {"n": 0}
+
+    def torn_scatter(block, idx_l, dev_rows):
+        if tears["n"] > 0:
+            tears["n"] -= 1
+            dev_rows = dict(dev_rows)
+            dev_rows["xyz_f16"] = jnp.zeros_like(dev_rows["xyz_f16"])
+        return real_scatter(block, idx_l, dev_rows)
+
+    pool._scatter_local = torn_scatter
+
+    # tear once -> settle detects, re-applies clean -> healed
+    tears["n"] = 1
+    ref._apply(0, np.asarray([1, 3], np.int32), stacked, attempt=0)
+    ref._settle_pending(force=True)   # detects the tear, re-applies
+    ref._settle_pending(force=True)   # verifies the clean re-apply
+    assert ref.torn_healed == 1 and ref.torn_dropped == 0
+    assert ref.refreshed == 2
+    np.testing.assert_array_equal(
+        np.asarray(pool.pool["xyz_f16"])[[1, 3]], stacked["xyz_f16"])
+
+    # tear persistently -> dropped after the retry, accounted
+    tears["n"] = 2
+    ref._apply(0, np.asarray([1, 3], np.int32), stacked, attempt=0)
+    ref._settle_pending(force=True)
+    ref._settle_pending(force=True)
+    assert ref.torn_dropped == 1 and ref.torn_healed == 2  # retried, then gave up
+    assert ref.refreshed == 2  # dropped chunk not counted as refreshed
+
+
 def test_pool_sampler_covers_all_shards(pool_env):
     cfg, meta, records, models, mapper = pool_env
     n_dev = min(8, len(jax.devices()))
