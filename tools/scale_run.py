@@ -116,10 +116,33 @@ def _eval_done(tag):
                                "synth-test_gdrnet-tpu.csv"))
 
 
+def _marker(tag):
+    path = osp.join(LOGDIR, f"{tag}.done")
+
+    def done():
+        return osp.isfile(path)
+
+    def touch():
+        with open(path, "w") as fp:
+            fp.write(time.ctime() + "\n")
+
+    return done, touch
+
+
 def build_stages():
     train_argv = [PY, "-m", "gdrnet_tpu.engine.train", "--config-file", CFG]
     eval_base = train_argv + ["--eval-only",
                               f"MODEL.WEIGHTS={osp.join(OUT, 'ckpt')}"]
+    bench_done, bench_touch = _marker("bench")
+    loader_done, loader_touch = _marker("loader_bench")
+    sweeps = []
+    for seed in range(5):
+        s_done, s_touch = _marker(f"sweep{seed}")
+        sweeps.append(Stage(
+            f"sweep{seed}",
+            [PY, osp.join(REPO, "tools", "validate_scale.py"),
+             "--seed", str(seed)],
+            s_done, timeout_s=2400, on_rc0=s_touch))
     return [
         Stage("dataset",
               [PY, osp.join(REPO, "tools", "gen_scale_dataset.py"),
@@ -141,7 +164,22 @@ def build_stages():
               eval_base + ["TEST.DEVICE_PNP=True",
                            f"OUTPUT_DIR={osp.join(OUT, 'eval_dpnp')}"],
               lambda: _eval_done("dpnp"), timeout_s=3600),
-    ]
+        # bf16 + int8 serving bench on the trained checkpoint (bench.py
+        # auto-detects OUT/ckpt); JSON lines land in the stage logs
+        Stage("bench",
+              ["bash", "-c",
+               f"{PY} {osp.join(REPO, 'bench.py')} && "
+               f"{PY} {osp.join(REPO, 'bench.py')} --bf16"],
+              bench_done, timeout_s=2400, on_rc0=bench_touch),
+        # sustained input-pipeline comparison on the real data path
+        Stage("loader_bench",
+              [PY, osp.join(REPO, "tools", "bench_train.py"),
+               "--with-loader", "--config-file", CFG,
+               "--batch-sizes", "128", "--iters", "30",
+               "--pipeline", "host,device-prep,device-aug,pool",
+               "--workers", "1,2", "--max-records", "1024"],
+              loader_done, timeout_s=5400, on_rc0=loader_touch),
+    ] + sweeps
 
 
 def run_stage(st: Stage, max_tries: int, status_fp) -> bool:
