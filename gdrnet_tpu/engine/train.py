@@ -49,6 +49,36 @@ def setup(args) -> Config:
     return cfg
 
 
+def _dump_results(results, out_dir):
+    """Persist do_test's result dict as OUTPUT_DIR/results.json (numpy
+    scalars coerced; non-serializable leaves dropped). The reference keeps
+    eval artifacts on disk next to the CSV (core/gdrn_modeling/engine_utils
+    flat_dataset_dicts -> inference dumps); here one json carries the
+    per-object table, the BOP error matrix and the timing split."""
+    import json
+    import numpy as np
+
+    def _clean(v):
+        if isinstance(v, dict):
+            return {k: _clean(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [_clean(x) for x in v]
+        if isinstance(v, (np.integer,)):
+            return int(v)
+        if isinstance(v, (np.floating,)):
+            return float(v)
+        if isinstance(v, np.ndarray):
+            return v.tolist()
+        if isinstance(v, (str, int, float, bool)) or v is None:
+            return v
+        return repr(v)
+
+    path = osp.join(out_dir, "results.json")
+    with open(path, "w") as f:
+        json.dump(_clean(results), f, indent=1)
+    return path
+
+
 def main(argv=None):
     args = parse_args(argv)
     cfg = setup(args)
@@ -96,6 +126,7 @@ def main(argv=None):
         results = do_test(cfg, model, state.variables(), models, records,
                           output_dir=cfg.OUTPUT_DIR, data_root=args.data_root)
         print(results["_summary"])
+        _dump_results(results, cfg.OUTPUT_DIR)
         return results
 
     state, models, was_preempted = do_train(cfg, resume=args.resume,
@@ -111,6 +142,7 @@ def main(argv=None):
         results = do_test(cfg, model, state.variables(), models, records,
                           output_dir=cfg.OUTPUT_DIR, data_root=args.data_root)
         print(results["_summary"])
+        _dump_results(results, cfg.OUTPUT_DIR)
         return results
     return None
 
