@@ -34,6 +34,10 @@ data-loading layer it replaces, data_loader.py:304-633).
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
+import os.path as osp
 import queue
 import threading
 from functools import partial
@@ -157,7 +161,7 @@ class DevicePool:
 
     def __init__(self, cfg, records, mapper, models, mesh,
                  axis_name: str = "data", seed: int = 0, logger=None,
-                 abort_check=None):
+                 abort_check=None, cache_dir: str | None = None):
         self.mesh = mesh
         self.axis_name = axis_name
         n_shards = int(mesh.shape[axis_name])
@@ -185,17 +189,52 @@ class DevicePool:
              jnp.asarray(models.sym_mask_stack)),
             NamedSharding(mesh, P()))
 
-        if logger is not None:
-            logger.info(f"pool: mapping {n_use} records once ...")
-        # the one-time fill is minutes of host work on large sets; poll
-        # abort_check so a preemption signal doesn't have to wait it out
-        rows = []
-        for i in range(n_use):
-            if abort_check is not None and i % 256 == 0 and abort_check():
-                raise InterruptedError("pool build aborted (preemption)")
-            rows.append(self.map_row(i, seed))
-        host = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
-        del rows
+        # The one-time fill is minutes of host work on large sets, and a
+        # wedged tunnel can kill the process mid-upload — cache the mapped
+        # host pool on disk so a retried attempt skips straight to upload.
+        host = None
+        cache_path = None
+        if cache_dir:
+            key = json.dumps(
+                [sorted(cfg.DATASETS.TRAIN), n_use, seed, self._decode_static,
+                 self.pixel_mean.tolist(), self.pixel_std.tolist()],
+                sort_keys=True, default=str)
+            digest = hashlib.sha1(key.encode()).hexdigest()[:16]
+            cache_path = osp.join(cache_dir, f"pool_{digest}.npz")
+            if osp.isfile(cache_path):
+                if logger is not None:
+                    logger.info(f"pool: loading mapped cache {cache_path}")
+                try:
+                    with np.load(cache_path) as z:
+                        host = {k: z[k] for k in z.files}
+                    if next(iter(host.values())).shape[0] != n_use:
+                        host = None
+                except Exception as e:  # truncated/corrupt cache: remap
+                    if logger is not None:
+                        logger.warning(f"pool: cache load failed ({e}); "
+                                       "remapping")
+                    host = None
+        if host is None:
+            if logger is not None:
+                logger.info(f"pool: mapping {n_use} records once ...")
+            # poll abort_check so a preemption signal doesn't wait it out
+            rows = []
+            for i in range(n_use):
+                if abort_check is not None and i % 256 == 0 and abort_check():
+                    raise InterruptedError("pool build aborted (preemption)")
+                if logger is not None and i and i % 2048 == 0:
+                    logger.info(f"pool: mapped {i}/{n_use}")
+                rows.append(self.map_row(i, seed))
+            host = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+            del rows
+            if cache_path is not None:
+                os.makedirs(cache_dir, exist_ok=True)
+                tmp = cache_path + ".tmp"
+                with open(tmp, "wb") as fp:
+                    np.savez(fp, **host)
+                os.replace(tmp, cache_path)
+                if logger is not None:
+                    logger.info(f"pool: cached mapped pool at {cache_path}")
         nbytes = sum(v.nbytes for v in host.values())
         if logger is not None:
             logger.info(f"pool: uploading {nbytes / 2**20:.0f} MiB "
@@ -214,8 +253,14 @@ class DevicePool:
         # would otherwise poison ~1 batch in N/B for the whole run.
         want = {k: _np_abs_sum(v) for k, v in host.items()}
         for attempt in range(3):
-            self.pool = {k: jax.device_put(v, NamedSharding(mesh, P(axis_name)))
-                         for k, v in host.items()}
+            pool = {}
+            for k, v in host.items():
+                if logger is not None:
+                    logger.info(f"pool: uploading {k} "
+                                f"({v.nbytes / 2**20:.0f} MiB)")
+                pool[k] = jax.device_put(v, NamedSharding(mesh, P(axis_name)))
+                pool[k].block_until_ready()
+            self.pool = pool
             bad = _sums_match(
                 {k: float(s) for k, s in _pool_sums(self.pool).items()}, want)
             if not bad:

@@ -139,9 +139,13 @@ def build_input_pipeline(cfg, records, records2, models, mapper, mesh, axis,
             raise NotImplementedError(
                 "DEVICE_RESIDENT_POOL is single-process only; use the host "
                 "loader (or INPUT.DEVICE_PREPROCESS) on multi-process meshes")
+        pool_out = cfg.OUTPUT_DIR if cfg.OUTPUT_DIR != "auto" else osp.join(
+            cfg.OUTPUT_ROOT, cfg.EXP_NAME or "gdrn")
+        cache_dir = (osp.join(pool_out, "pool_cache")
+                     if cfg.TRAIN.get("POOL_CACHE", True) else None)
         pool = DevicePool(cfg, records, mapper, models, mesh,
                           axis_name=axis, seed=seed, logger=logger,
-                          abort_check=abort_check)
+                          abort_check=abort_check, cache_dir=cache_dir)
         loader = pool_index_sampler(
             pool, ims_per_batch, seed,
             sampler_name=cfg.DATALOADER.SAMPLER_TRAIN,
