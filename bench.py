@@ -45,14 +45,14 @@ DEFAULT_CKPTS = (
 )
 
 
-def _probe_device() -> None:
+def _probe_device(max_tries: int = 12) -> None:
     # watchdogged subprocess probe: the tunnel can hang at backend init
     # (gdrnet_tpu/utils/device_probe.py). This is the round's contract
     # artifact, so ride out a long outage (~35 min window) but hard-fail
     # rather than bind a hung backend and wedge the calling driver.
     from gdrnet_tpu.utils.device_probe import probe_device
 
-    probe_device(max_tries=12, require=True)
+    probe_device(max_tries=max_tries, require=True)
 
 
 def _flag_value(name: str) -> str | None:
@@ -65,6 +65,47 @@ def _flag_value(name: str) -> str | None:
 
 
 def main():
+    """Fault-bounded orchestrator: the measurement runs in a subprocess so a
+    tunnel fault mid-jit (BENCH_r04 died on `remote_compile: read body`
+    inside the compile leg) or a wedged runtime costs one bounded attempt —
+    the driver invokes `python bench.py` exactly once per round, so this
+    process must survive one hiccup on its own."""
+    if "--_worker" in sys.argv:
+        sys.argv.remove("--_worker")
+        return _bench_main()
+
+    import os
+    import subprocess
+
+    # ride out a long outage HERE (outside the per-attempt timeout): the
+    # probe window is the round's "wait for the chip" budget, the attempt
+    # timeout is the "a live chip hung mid-run" tripwire
+    _probe_device()
+
+    attempts, per_attempt_s, budget_s = 3, 900, 2100
+    t0 = time.time()
+    for attempt in range(1, attempts + 1):
+        left = budget_s - (time.time() - t0)
+        if left < 120:
+            break
+        try:
+            rc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--_worker",
+                 *sys.argv[1:]],
+                timeout=min(per_attempt_s, left)).returncode
+        except subprocess.TimeoutExpired:
+            rc = -9
+            print(f"bench attempt {attempt}: KILLED after "
+                  f"{min(per_attempt_s, left):.0f}s (hung tunnel?)",
+                  file=sys.stderr)
+        if rc == 0:
+            return
+        print(f"bench attempt {attempt}/{attempts} failed (rc={rc}); "
+              "re-probing chip", file=sys.stderr)
+    raise SystemExit("bench: all attempts failed")
+
+
+def _bench_main():
     from gdrnet_tpu.config import base_config
     from gdrnet_tpu.models import build_model
     from gdrnet_tpu.data import synthetic_roi_batch
@@ -73,7 +114,8 @@ def main():
     for f in ("--ckpt", "--config", "--batch", "--iters"):
         _flag_value(f)
 
-    _probe_device()
+    # short probe only: the orchestrator already rode out any long outage
+    _probe_device(max_tries=2)
 
     import os.path as osp
 

@@ -430,16 +430,26 @@ class BackgroundReplacer:
                               for fn in sorted(os.listdir(bg_root))]
             self.paths = [p for p in candidates
                           if p.lower().endswith(exts)][: num_bg_imgs]
+        self._grad_cache: dict = {}
+
+    def _gradient_bg(self, rng, h: int, w: int) -> np.ndarray:
+        """Smooth random-gradient fallback; the per-size ramps are cached
+        (read-only across threads) — only the random mix is per-call. The
+        convex combination of values in [0, 255] stays in range, so no clip."""
+        ramps = self._grad_cache.get((h, w))
+        if ramps is None:
+            gy = np.linspace(0, 255, h, dtype=np.float32)[:, None, None]
+            gx = np.linspace(0, 255, w, dtype=np.float32)[None, :, None]
+            ramps = self._grad_cache[(h, w)] = (gy, gx)
+        gy, gx = ramps
+        c = rng.rand(1, 1, 3).astype(np.float32)
+        return (gy * c + gx * (1 - c)).astype(np.uint8)
 
     def get_bg(self, rng, h: int, w: int) -> np.ndarray:
         """Aspect-keeping random crop/resize of a random bg image
         (get_bg_image, base_data_loader.py:366-419)."""
         if not self.paths:
-            # deterministic fallback: smooth random gradient
-            gy = np.linspace(0, 255, h, dtype=np.float32)[:, None, None]
-            gx = np.linspace(0, 255, w, dtype=np.float32)[None, :, None]
-            c = rng.rand(1, 1, 3).astype(np.float32)
-            return np.clip(gy * c + gx * (1 - c), 0, 255).astype(np.uint8)
+            return self._gradient_bg(rng, h, w)
         # bounded retry over random picks; no mutation (the replacer is
         # shared across loader threads) — persistent failures fall through
         # to the gradient fallback
@@ -450,10 +460,7 @@ class BackgroundReplacer:
             if bg is not None:
                 break
         if bg is None:
-            gy = np.linspace(0, 255, h, dtype=np.float32)[:, None, None]
-            gx = np.linspace(0, 255, w, dtype=np.float32)[None, :, None]
-            c = rng.rand(1, 1, 3).astype(np.float32)
-            return np.clip(gy * c + gx * (1 - c), 0, 255).astype(np.uint8)
+            return self._gradient_bg(rng, h, w)
         if self.keep_aspect:
             bh, bw = bg.shape[:2]
             scale = max(h / bh, w / bw)
@@ -469,7 +476,7 @@ class BackgroundReplacer:
         optionally truncate a random side of the fg first (replace_bg +
         TRUNCATE_FG, base_data_loader.py:320-364). Returns (img, mask)."""
         h, w = img.shape[:2]
-        mask = fg_mask.astype(bool).copy()
+        mask = fg_mask.astype(bool)  # astype copies; safe to truncate in place
         # reference truncates w.p. 0.8 (one of 4 sides), no-op otherwise
         # (base_data_loader.py:342-356 rnd<0.2/0.4/0.6/0.8/else-pass)
         if truncate_fg and mask.any() and rng.rand() < 0.8:

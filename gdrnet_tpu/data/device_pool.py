@@ -40,6 +40,7 @@ import os
 import os.path as osp
 import queue
 import threading
+import time
 from functools import partial
 
 import jax
@@ -192,11 +193,26 @@ class DevicePool:
         # The one-time fill is minutes of host work on large sets, and a
         # wedged tunnel can kill the process mid-upload — cache the mapped
         # host pool on disk so a retried attempt skips straight to upload.
+        # The key hashes everything that changes map_row's output: the
+        # dataset identity AND contents (record fingerprint — a CLI
+        # INPUT.* override or regenerated dataset must not hit a stale
+        # cache), the full INPUT config, model input/output dims, and pixel
+        # stats. Deliberately NOT the seed: a retried/resumed attempt draws
+        # a fresh seed (SEED=-1) but the cached rows are still a valid
+        # augmentation draw, and the background refresher keeps re-rolling
+        # augmentations during training anyway.
         host = None
         cache_path = None
         if cache_dir:
+            inp = cfg.INPUT.to_dict() if hasattr(cfg.INPUT, "to_dict") \
+                else dict(cfg.INPUT)
+            rec_fp = hashlib.sha1("\n".join(
+                f"{r.get('rgb_path', '')}|{r.get('xyz_path', '')}|"
+                f"{r.get('label', '')}|{r.get('inst_id', '')}"
+                for r in self.records).encode()).hexdigest()
             key = json.dumps(
-                [sorted(cfg.DATASETS.TRAIN), n_use, seed, self._decode_static,
+                [sorted(cfg.DATASETS.TRAIN), n_use, self._decode_static,
+                 inp, int(cfg.MODEL.CDPN.BACKBONE.INPUT_RES), rec_fp,
                  self.pixel_mean.tolist(), self.pixel_std.tolist()],
                 sort_keys=True, default=str)
             digest = hashlib.sha1(key.encode()).hexdigest()[:16]
@@ -217,18 +233,43 @@ class DevicePool:
         if host is None:
             if logger is not None:
                 logger.info(f"pool: mapping {n_use} records once ...")
-            # poll abort_check so a preemption signal doesn't wait it out
-            rows = []
-            for i in range(n_use):
-                if abort_check is not None and i % 256 == 0 and abort_check():
-                    raise InterruptedError("pool build aborted (preemption)")
-                if logger is not None and i and i % 2048 == 0:
-                    logger.info(f"pool: mapped {i}/{n_use}")
-                rows.append(self.map_row(i, seed))
+            # fill in rgb_path-grouped order with the mapper's frame cache
+            # on, so the ~K ROI records sharing an image decode it once
+            # (slot -> row assignment is unchanged; only visit order is)
+            order = sorted(range(n_use),
+                           key=lambda i: self.records[i]["rgb_path"])
+            self.mapper.frame_cache_max = 4
+            rows: list = [None] * n_use
+            t_map = time.time()
+            try:
+                # poll abort_check so a preemption doesn't wait out the fill
+                for j, i in enumerate(order):
+                    if (abort_check is not None and j % 256 == 0
+                            and abort_check()):
+                        raise InterruptedError(
+                            "pool build aborted (preemption)")
+                    if logger is not None and j and j % 1024 == 0:
+                        rate = j / max(time.time() - t_map, 1e-6)
+                        logger.info(f"pool: mapped {j}/{n_use} "
+                                    f"({rate:.0f} rows/s)")
+                    rows[i] = self.map_row(i, seed)
+            finally:
+                self.mapper.frame_cache_max = 0
+                self.mapper._frame_cache.clear()
+            if logger is not None:
+                rate = n_use / max(time.time() - t_map, 1e-6)
+                logger.info(f"pool: mapped {n_use} rows in "
+                            f"{time.time() - t_map:.0f}s ({rate:.0f} rows/s)")
             host = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
             del rows
             if cache_path is not None:
                 os.makedirs(cache_dir, exist_ok=True)
+                # prune stale pools first (key changes would otherwise
+                # accrete multi-GB orphans in OUTPUT_DIR/pool_cache)
+                for old in os.listdir(cache_dir):
+                    if (old.startswith("pool_") and old.endswith(".npz")
+                            and old != osp.basename(cache_path)):
+                        os.remove(osp.join(cache_dir, old))
                 tmp = cache_path + ".tmp"
                 with open(tmp, "wb") as fp:
                     np.savez(fp, **host)
@@ -249,18 +290,21 @@ class DevicePool:
         # The host->device link can tear transfers silently (readiness
         # signals are unreliable over remote-device tunnels — the same
         # effect that forced fenced checkpoint saves, engine/checkpoint.py).
-        # Verify the resident bytes against host checksums; a torn slot
+        # Upload in bounded chunks (progress + measured MB/s + per-chunk
+        # retry, so one tunnel hiccup costs one chunk, not the pool), then
+        # verify the resident bytes against host checksums; a torn slot
         # would otherwise poison ~1 batch in N/B for the whole run.
         want = {k: _np_abs_sum(v) for k, v in host.items()}
+        self._up_sent = 0.0
+        self._up_secs = 0.0
+        self._up_total = float(nbytes)
+        self.pool = {k: self._upload_key(v, k, logger)
+                     for k, v in host.items()}
+        if logger is not None and self._up_secs > 0:
+            logger.info(f"pool: uploaded {self._up_sent / 2**20:.0f} MiB in "
+                        f"{self._up_secs:.0f}s "
+                        f"({self._up_sent / 2**20 / self._up_secs:.1f} MB/s)")
         for attempt in range(3):
-            pool = {}
-            for k, v in host.items():
-                if logger is not None:
-                    logger.info(f"pool: uploading {k} "
-                                f"({v.nbytes / 2**20:.0f} MiB)")
-                pool[k] = jax.device_put(v, NamedSharding(mesh, P(axis_name)))
-                pool[k].block_until_ready()
-            self.pool = pool
             bad = _sums_match(
                 {k: float(s) for k, s in _pool_sums(self.pool).items()}, want)
             if not bad:
@@ -268,6 +312,8 @@ class DevicePool:
             if logger is not None:
                 logger.warning(f"pool: upload checksum mismatch on {bad}, "
                                f"re-uploading (attempt {attempt + 1})")
+            for k in bad:
+                self.pool[k] = self._upload_key(host[k], k, logger)
         else:
             raise RuntimeError(f"pool upload torn on keys {bad} after retries "
                                f"— device link unreliable, refusing to train")
@@ -302,6 +348,80 @@ class DevicePool:
             return new, sums
 
         self._scatter_local = _scatter_local
+
+    # ------------------------------------------------------------- upload
+
+    _CHUNK_BYTES = 64 * 2 ** 20
+    _CHUNK_TRIES = 3
+    _CHUNK_RETRY_SLEEP_S = 15.0
+
+    def _upload_key(self, v: np.ndarray, key: str, logger):
+        """Upload one pool tensor sharded over the mesh data axis, chunked
+        per device. Returns the assembled global jax.Array."""
+        sharding = NamedSharding(self.mesh, P(self.axis_name))
+        idx_map = sharding.addressable_devices_indices_map(v.shape)
+        if logger is not None:
+            logger.info(f"pool: uploading {key} ({v.nbytes / 2**20:.0f} MiB)")
+        bufs = [self._upload_array(np.ascontiguousarray(v[idx]), dev, key,
+                                   logger)
+                for dev, idx in idx_map.items()]
+        return jax.make_array_from_single_device_arrays(
+            v.shape, sharding, bufs)
+
+    def _put_chunk(self, chunk: np.ndarray, dev, key: str, logger):
+        """device_put one bounded chunk with a bounded retry — a single
+        tunnel fault re-sends this chunk, never the whole pool. The scalar
+        fetch is the honest completion fence (block_until_ready can return
+        early over remote-device tunnels, see bench.py's scan fence)."""
+        for attempt in range(self._CHUNK_TRIES):
+            try:
+                t0 = time.time()
+                c_dev = jax.device_put(chunk, dev)
+                c_dev.block_until_ready()
+                float(np.asarray(c_dev.ravel()[0]))  # fence: host fetch
+                dt = max(time.time() - t0, 1e-6)
+                self._up_sent += chunk.nbytes
+                self._up_secs += dt
+                if logger is not None:
+                    logger.info(
+                        f"pool: {key}: +{chunk.nbytes / 2**20:.0f} MiB at "
+                        f"{chunk.nbytes / 2**20 / dt:.1f} MB/s "
+                        f"({self._up_sent / 2**20:.0f}/"
+                        f"{self._up_total / 2**20:.0f} MiB)")
+                return c_dev
+            except Exception as e:  # noqa: BLE001 — tunnel faults are opaque
+                if attempt == self._CHUNK_TRIES - 1:
+                    raise
+                if logger is not None:
+                    logger.warning(f"pool: {key}: chunk upload failed "
+                                   f"({e!r}); retry in "
+                                   f"{self._CHUNK_RETRY_SLEEP_S:.0f}s")
+                time.sleep(self._CHUNK_RETRY_SLEEP_S)
+
+    def _upload_array(self, part: np.ndarray, dev, key: str, logger):
+        """Upload one shard's rows to one device in <=_CHUNK_BYTES slices,
+        assembled on device by a donated dynamic_update_slice (peak HBM =
+        final buffer + one chunk)."""
+        from jax.sharding import SingleDeviceSharding
+
+        n = part.shape[0]
+        row_b = max(part.nbytes // max(n, 1), 1)
+        rows = max(1, self._CHUNK_BYTES // row_b)
+        if n <= rows:  # small enough for one transfer
+            return self._put_chunk(part, dev, key, logger)
+        sds = SingleDeviceSharding(dev)
+        buf = jax.jit(partial(jnp.zeros, part.shape, part.dtype),
+                      out_shardings=sds)()
+        write = jax.jit(
+            lambda b, c, s: jax.lax.dynamic_update_slice(
+                b, c, (s,) + (0,) * (b.ndim - 1)),
+            donate_argnums=0, out_shardings=sds)
+        for start in range(0, n, rows):
+            chunk = np.ascontiguousarray(part[start:start + rows])
+            c_dev = self._put_chunk(chunk, dev, key, logger)
+            buf = write(buf, c_dev, np.int32(start))
+        buf.block_until_ready()
+        return buf
 
     def map_row(self, slot: int, seed: int) -> dict:
         """Map + encode one record; rng keyed by (seed, slot) so refresh

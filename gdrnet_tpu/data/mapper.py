@@ -145,6 +145,28 @@ class GDRNTrainMapper:
         self.coord2d = get_2d_coord_np(self.out_res, self.out_res)
         self.render_missing_xyz = render_missing_xyz
         self._mesh_cache: dict = {}
+        # >0: cache decoded frames so the ~K ROI records sharing one image
+        # pay its PNG decode once (DevicePool's grouped fill sets this; the
+        # random-access loader path leaves it off — no locality to exploit)
+        self.frame_cache_max = 0
+        self._frame_cache: dict = {}
+
+    def _read_frame(self, rec: dict) -> np.ndarray:
+        """Decode rec's frame (cached when frame_cache_max > 0) and record
+        its size on the record. The returned array is shared/pristine —
+        callers must not write in place (every aug op here is
+        copy-producing: bg.replace -> np.where, color ops -> new arrays,
+        RGB flip -> ascontiguousarray)."""
+        path = rec["rgb_path"]
+        img = self._frame_cache.get(path)
+        if img is None:
+            img = read_color_image(path)
+            if self.frame_cache_max > 0:
+                if len(self._frame_cache) >= self.frame_cache_max:
+                    self._frame_cache.clear()
+                self._frame_cache[path] = img
+        rec["im_wh"] = (img.shape[1], img.shape[0])
+        return img
 
     # -- xyz GT --------------------------------------------------------
     def _load_xyz(self, rec, im_h, im_w) -> np.ndarray:
@@ -177,7 +199,7 @@ class GDRNTrainMapper:
 
     # -- main ----------------------------------------------------------
     def __call__(self, rec: dict, rng: np.random.RandomState) -> dict:
-        img = read_color_image(rec["rgb_path"])
+        img = self._read_frame(rec)
         im_h, im_w = img.shape[:2]
 
         xyz = self._load_xyz(rec, im_h, im_w)
@@ -297,7 +319,7 @@ class GDRNRawTrainMapper(GDRNTrainMapper):
     CPU workers, data_loader.py:304-633)."""
 
     def __call__(self, rec: dict, rng: np.random.RandomState) -> dict:
-        img = read_color_image(rec["rgb_path"])
+        img = self._read_frame(rec)
         im_h, im_w = img.shape[:2]
 
         xyz = self._load_xyz(rec, im_h, im_w)

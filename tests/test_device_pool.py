@@ -235,3 +235,62 @@ def test_pool_mode_training_smoke(pool_env, tmp_path):
     assert len(losses) >= 3
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]
+
+
+def test_pool_cache_roundtrip(pool_env, tmp_path):
+    """POOL_CACHE disk path: second build loads the npz instead of mapping;
+    a different seed still hits (seed excluded from the key by design); a
+    changed INPUT config misses; a truncated npz falls back to remapping."""
+    cfg, meta, records, models, mapper = pool_env
+    mesh = make_mesh(1)
+    cache = str(tmp_path / "pool_cache")
+
+    calls = {"n": 0}
+    orig = mapper.__class__.__call__
+
+    class CountingMapper:
+        def __init__(self, m):
+            self._m = m
+            self.frame_cache_max = 0
+            self._frame_cache = {}
+
+        def __call__(self, rec, rng):
+            calls["n"] += 1
+            return orig(self._m, rec, rng)
+
+    cm = CountingMapper(mapper)
+    pool1 = DevicePool(cfg, records, cm, models, mesh, seed=SEED,
+                       cache_dir=cache)
+    n_map = calls["n"]
+    assert n_map == len(pool1.records)
+    import os
+
+    files = [f for f in os.listdir(cache) if f.endswith(".npz")]
+    assert len(files) == 1
+
+    # cache hit: no mapper calls, identical resident bytes, even with a
+    # different seed (refresh re-augments; key deliberately seed-free)
+    pool2 = DevicePool(cfg, records, cm, models, mesh, seed=SEED + 999,
+                       cache_dir=cache)
+    assert calls["n"] == n_map
+    for k in pool1.pool:
+        np.testing.assert_array_equal(np.asarray(pool1.pool[k]),
+                                      np.asarray(pool2.pool[k]), err_msg=k)
+
+    # a mapper-relevant config change must MISS (stale-cache guard) and
+    # prune the old file
+    cfg2 = _cfg()
+    cfg2.INPUT.DZI_PAD_SCALE = cfg.INPUT.DZI_PAD_SCALE * 1.01
+    DevicePool(cfg2, records, cm, models, mesh, seed=SEED, cache_dir=cache)
+    assert calls["n"] == 2 * n_map
+    files = [f for f in os.listdir(cache) if f.endswith(".npz")]
+    assert len(files) == 1  # old pool pruned on write
+
+    # corrupt cache: truncate -> loud fallback to remapping
+    import os.path as osp
+
+    path = osp.join(cache, files[0])
+    with open(path, "r+b") as fp:
+        fp.truncate(1024)
+    DevicePool(cfg2, records, cm, models, mesh, seed=SEED, cache_dir=cache)
+    assert calls["n"] == 3 * n_map
