@@ -27,6 +27,14 @@ envelope as INPUT.DEVICE_PREPROCESS, docs/training.md), gt_xyz/coords
 through f16 (<=5e-4 of the extent-normalized range), and gt_xyz_bin may
 flip at exact bin boundaries (measured <0.1% of fg pixels).
 
+Multi-process: each host maps, uploads, checksums, and refreshes only the
+rows its addressable devices own (row ownership read off the sharding's
+addressable_devices_indices_map), with checksums globally summed over
+all_gather_objects — so a pod build parallelizes the one-time fill across
+hosts for free. Pure data meshes only when multi-process (replicated axes
+across hosts would double-count checksums); tested by
+tests/test_multihost.py::test_two_process_pool.
+
 Enabled by TRAIN.DEVICE_RESIDENT_POOL (+ TRAIN.POOL_REFRESH) in
 engine/trainer.py; no reference counterpart (SURVEY.md maps this to the
 data-loading layer it replaces, data_loader.py:304-633).
@@ -162,18 +170,35 @@ class DevicePool:
 
     def __init__(self, cfg, records, mapper, models, mesh,
                  axis_name: str = "data", seed: int = 0, logger=None,
-                 abort_check=None, cache_dir: str | None = None):
+                 abort_check=None, cache_dir: str | None = None,
+                 records2=None):
         self.mesh = mesh
         self.axis_name = axis_name
         n_shards = int(mesh.shape[axis_name])
         self.n_shards = n_shards
-        per = len(records) // n_shards
-        n_use = per * n_shards
-        if n_use < len(records) and logger is not None:
-            logger.info(f"pool: dropping {len(records) - n_use} records to "
-                        f"shard {len(records)} evenly over {n_shards}")
-        self.per_shard = per
-        self.records = records[:n_use]
+        per1 = len(records) // n_shards
+        per2 = (len(records2) // n_shards) if records2 else 0
+        if records2 and per2 == 0 and logger is not None:
+            logger.warning(f"pool: TRAIN2 has only {len(records2)} records "
+                           f"for {n_shards} shards; ignoring TRAIN2")
+        dropped = (len(records) - per1 * n_shards
+                   + (len(records2) - per2 * n_shards if records2 else 0))
+        if dropped and logger is not None:
+            logger.info(f"pool: dropping {dropped} records to shard evenly "
+                        f"over {n_shards}")
+        # per-shard layout: [per1 TRAIN slots | per2 TRAIN2 slots] — each
+        # shard holds a proportional split of both datasets, so the
+        # TRAIN2_RATIO mix (reference engine.py:157-165,232-235) stays a
+        # shard-LOCAL sampler decision with no cross-shard traffic
+        arranged = []
+        for d in range(n_shards):
+            arranged += records[d * per1:(d + 1) * per1]
+            if per2:
+                arranged += records2[d * per2:(d + 1) * per2]
+        n_use = len(arranged)
+        self.per_shard = per1 + per2
+        self.per_shard_ds1 = per1
+        self.records = arranged
         self.mapper = mapper
         rh = cfg.MODEL.CDPN.ROT_HEAD
         self._decode_static = dict(
@@ -183,6 +208,31 @@ class DevicePool:
         self.pixel_mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float32)
         self.pixel_std = np.asarray(cfg.MODEL.PIXEL_STD, np.float32)
         self.labels = [models.label_of(r["label"]) for r in self.records]
+
+        # Multi-process: each host maps/uploads only the rows its
+        # addressable devices own (the reference's per-rank DDP loader does
+        # the analogous rank-local work, my_distributed_sampler.py). Row
+        # ownership comes from the sharding itself, so it is exact for any
+        # device->host assignment. Replicated axes across processes would
+        # double-count the gathered checksums — restrict to meshes whose
+        # non-data axes stay within one process (pure-DP pods qualify).
+        self.n_procs = jax.process_count()
+        if self.n_procs > 1:
+            for ax, sz in mesh.shape.items():
+                if ax != axis_name and sz > 1:
+                    raise NotImplementedError(
+                        "multi-process DEVICE_RESIDENT_POOL supports pure "
+                        f"data meshes only (axis {ax}={sz})")
+        row_map = NamedSharding(mesh, P(axis_name)) \
+            .addressable_devices_indices_map((n_use,))
+        self._local_ranges = sorted({(sl[0].start or 0,
+                                      n_use if sl[0].stop is None
+                                      else sl[0].stop)
+                                     for sl in row_map.values()})
+        local_mask = np.zeros(n_use, bool)
+        for a, b in self._local_ranges:
+            local_mask[a:b] = True
+        self._n_local = int(local_mask.sum())
 
         self._stacks = jax.device_put(
             (jnp.asarray(models.points_stack), jnp.asarray(models.extents_stack),
@@ -215,8 +265,10 @@ class DevicePool:
                  inp, int(cfg.MODEL.CDPN.BACKBONE.INPUT_RES), rec_fp,
                  self.pixel_mean.tolist(), self.pixel_std.tolist()],
                 sort_keys=True, default=str)
+            key += json.dumps(self._local_ranges)  # per-host row ownership
             digest = hashlib.sha1(key.encode()).hexdigest()[:16]
-            cache_path = osp.join(cache_dir, f"pool_{digest}.npz")
+            rank = jax.process_index()
+            cache_path = osp.join(cache_dir, f"pool_r{rank}_{digest}.npz")
             if osp.isfile(cache_path):
                 if logger is not None:
                     logger.info(f"pool: loading mapped cache {cache_path}")
@@ -232,14 +284,17 @@ class DevicePool:
                     host = None
         if host is None:
             if logger is not None:
-                logger.info(f"pool: mapping {n_use} records once ...")
-            # fill in rgb_path-grouped order with the mapper's frame cache
-            # on, so the ~K ROI records sharing an image decode it once
-            # (slot -> row assignment is unchanged; only visit order is)
-            order = sorted(range(n_use),
+                logger.info(f"pool: mapping {self._n_local}/{n_use} "
+                            "records once ...")
+            # fill THIS process's rows in rgb_path-grouped order with the
+            # mapper's frame cache on, so the ~K ROI records sharing an
+            # image decode it once (slot -> row assignment is unchanged;
+            # only visit order is); non-local rows stay zero and are never
+            # uploaded or checksummed by this process
+            order = sorted((i for i in range(n_use) if local_mask[i]),
                            key=lambda i: self.records[i]["rgb_path"])
             self.mapper.frame_cache_max = 4
-            rows: list = [None] * n_use
+            host = None
             t_map = time.time()
             try:
                 # poll abort_check so a preemption doesn't wait out the fill
@@ -250,24 +305,30 @@ class DevicePool:
                             "pool build aborted (preemption)")
                     if logger is not None and j and j % 1024 == 0:
                         rate = j / max(time.time() - t_map, 1e-6)
-                        logger.info(f"pool: mapped {j}/{n_use} "
+                        logger.info(f"pool: mapped {j}/{len(order)} "
                                     f"({rate:.0f} rows/s)")
-                    rows[i] = self.map_row(i, seed)
+                    row = self.map_row(i, seed)
+                    if host is None:  # allocate once, from real shapes
+                        host = {k: np.zeros((n_use,) + np.shape(v),
+                                            np.asarray(v).dtype)
+                                for k, v in row.items()}
+                    for k, v in row.items():
+                        host[k][i] = v
             finally:
                 self.mapper.frame_cache_max = 0
                 self.mapper._frame_cache.clear()
             if logger is not None:
-                rate = n_use / max(time.time() - t_map, 1e-6)
-                logger.info(f"pool: mapped {n_use} rows in "
+                rate = len(order) / max(time.time() - t_map, 1e-6)
+                logger.info(f"pool: mapped {len(order)} rows in "
                             f"{time.time() - t_map:.0f}s ({rate:.0f} rows/s)")
-            host = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
-            del rows
             if cache_path is not None:
                 os.makedirs(cache_dir, exist_ok=True)
-                # prune stale pools first (key changes would otherwise
-                # accrete multi-GB orphans in OUTPUT_DIR/pool_cache)
+                # prune this rank's stale pools first (key changes would
+                # otherwise accrete multi-GB orphans in pool_cache)
+                rank = jax.process_index()
                 for old in os.listdir(cache_dir):
-                    if (old.startswith("pool_") and old.endswith(".npz")
+                    if (old.startswith(f"pool_r{rank}_")
+                            and old.endswith(".npz")
                             and old != osp.basename(cache_path)):
                         os.remove(osp.join(cache_dir, old))
                 tmp = cache_path + ".tmp"
@@ -276,10 +337,12 @@ class DevicePool:
                 os.replace(tmp, cache_path)
                 if logger is not None:
                     logger.info(f"pool: cached mapped pool at {cache_path}")
-        nbytes = sum(v.nbytes for v in host.values())
+        nbytes = (sum(v.nbytes for v in host.values())
+                  * self._n_local // max(n_use, 1))
         if logger is not None:
             logger.info(f"pool: uploading {nbytes / 2**20:.0f} MiB "
-                        f"({n_use} rows x {nbytes // max(n_use, 1) // 1024} KiB)")
+                        f"({self._n_local} rows x "
+                        f"{nbytes // max(self._n_local, 1) // 1024} KiB)")
         @jax.jit
         def _pool_sums(pool):
             return {k: jnp.sum(jnp.abs(v.astype(jnp.float32)))
@@ -294,7 +357,16 @@ class DevicePool:
         # retry, so one tunnel hiccup costs one chunk, not the pool), then
         # verify the resident bytes against host checksums; a torn slot
         # would otherwise poison ~1 batch in N/B for the whole run.
+        # Multi-process: _pool_sums is a GLOBAL reduction (jit over the
+        # sharded array), so the host wants are summed across processes
+        # too; every rank then computes the same `bad` list and re-uploads
+        # its own rows of the torn keys.
         want = {k: _np_abs_sum(v) for k, v in host.items()}
+        if self.n_procs > 1:
+            from gdrnet_tpu.parallel import multihost as mh
+
+            gathered = mh.all_gather_objects(want)
+            want = {k: sum(w[k] for w in gathered) for k in want}
         self._up_sent = 0.0
         self._up_secs = 0.0
         self._up_total = float(nbytes)
@@ -451,31 +523,49 @@ class DevicePool:
 
     # ------------------------------------------------------------ refresh
 
+    @property
+    def n_refresh_shards(self) -> int:
+        """Number of LOCAL row ranges this process can refresh (== its
+        addressable data shards; every process refreshes only its own
+        rows, so pod-wide refresh bandwidth scales with hosts)."""
+        return len(self._local_ranges)
+
+    def refresh_range(self, shard: int) -> tuple:
+        """(global_row_start, global_row_stop) of local refresh shard."""
+        return self._local_ranges[shard]
+
     def apply_refresh(self, shard: int, local_idx: np.ndarray, rows: dict
                       ) -> dict:
-        """Replace `local_idx` slots of one shard with freshly mapped rows.
-        Only that device's buffer is touched (donated scatter); the global
-        arrays are reassembled from the existing per-device buffers —
-        zero-copy for the untouched shards.
+        """Replace `local_idx` slots of local refresh shard `shard` with
+        freshly mapped rows. Only the owning devices' buffers are touched
+        (donated scatter) — every replica of the range (a model axis
+        replicates rows) gets the same write; the global arrays are
+        reassembled from the existing per-device buffers — zero-copy for
+        the untouched shards.
 
         Returns the read-back checksums of the written slots (device
         scalars, NOT fetched here — fetching would sync the dispatch queue;
         the caller compares them against `expected_sums(rows)` once they
         resolve, and re-applies on mismatch)."""
-        # order per-device buffers by their slot offset (single-process:
-        # addressable shards cover the whole array)
-        bufs = {
-            k: [s.data for s in sorted(arr.addressable_shards,
-                                       key=lambda s: s.index[0].start or 0)]
-            for k, arr in self.pool.items()}
-        dev = bufs["cls"][shard].devices().pop()
-        block = {k: b[shard] for k, b in bufs.items()}
-        new_block, sums = self._scatter_local(
-            block, jax.device_put(np.asarray(local_idx, np.int32), dev),
-            {k: jax.device_put(v, dev) for k, v in rows.items()})
-        for k, arr_new in new_block.items():
-            arr = self.pool[k]
-            bufs[k][shard] = arr_new
+        start = self._local_ranges[shard][0]
+        bufs = {k: [s.data for s in arr.addressable_shards]
+                for k, arr in self.pool.items()}
+        marks = [(s.index[0].start or 0)
+                 for s in self.pool["cls"].addressable_shards]
+        pos = [p for p, m in enumerate(marks) if m == start]
+        idx32 = np.asarray(local_idx, np.int32)
+        sums = None
+        for p in pos:
+            dev = bufs["cls"][p].devices().pop()
+            block = {k: b[p] for k, b in bufs.items()}
+            new_block, s = self._scatter_local(
+                block, jax.device_put(idx32, dev),
+                {k: jax.device_put(v, dev) for k, v in rows.items()})
+            for k, arr_new in new_block.items():
+                bufs[k][p] = arr_new
+            if sums is None:
+                sums = s
+        for k, arr in self.pool.items():
             self.pool[k] = jax.make_array_from_single_device_arrays(
                 arr.shape, arr.sharding, bufs[k])
         return sums
@@ -487,32 +577,50 @@ class DevicePool:
 
 def pool_index_sampler(pool: DevicePool, batch_size: int, seed: int,
                        sampler_name: str = "TrainingSampler",
-                       repeat_thresh: float = 0.0):
+                       repeat_thresh: float = 0.0, ratio2: float = 0.0):
     """Infinite [B] int32 streams of shard-local indices, one contiguous
     block per shard (the layout DevicePool.make_batch expects). Reuses the
     framework samplers per shard — shard-local shuffling is statistically
     equivalent to the reference's rank::world striding because slot
-    assignment is itself arbitrary."""
+    assignment is itself arbitrary.
+
+    ratio2 > 0 mixes the pool's TRAIN2 slots (the [per_shard_ds1,
+    per_shard) tail of each shard, see DevicePool layout) at that
+    per-element probability — the reference's dual-loader hot-loop mix
+    (engine.py:157-165,232-235) as a sampler decision. The RepeatFactor
+    sampler governs the TRAIN slots only; TRAIN2 draws uniformly (the
+    reference builds its repeat-factor sampler from the main dataset too,
+    data_loader.py:692-708)."""
     from gdrnet_tpu.data.samplers import (training_sampler,
                                           repeat_factor_training_sampler)
 
     n, per = pool.n_shards, pool.per_shard
+    per1 = pool.per_shard_ds1
+    per2 = per - per1
+    if per2 == 0:
+        ratio2 = 0.0
     if batch_size % n:
         raise ValueError(f"batch {batch_size} not divisible by {n} shards")
     b_local = batch_size // n
-    streams = []
+    streams, streams2 = [], []
     for d in range(n):
         if sampler_name == "RepeatFactorTrainingSampler":
-            labels_d = pool.labels[d * per:(d + 1) * per]
+            labels_d = pool.labels[d * per:d * per + per1]
             streams.append(repeat_factor_training_sampler(
                 labels_d, repeat_thresh, seed=seed + d * 7919))
         else:
-            streams.append(training_sampler(per, seed=seed + d * 7919))
+            streams.append(training_sampler(per1, seed=seed + d * 7919))
+        streams2.append(training_sampler(per2, seed=seed + d * 7919 + 13)
+                        if per2 else None)
+    mix_rng = np.random.RandomState(seed + 424242)
     while True:
         idx = np.empty(batch_size, np.int32)
-        for d, st in enumerate(streams):
+        for d in range(n):
             for j in range(b_local):
-                idx[d * b_local + j] = next(st)
+                if ratio2 > 0 and mix_rng.rand() < ratio2:
+                    idx[d * b_local + j] = per1 + next(streams2[d])
+                else:
+                    idx[d * b_local + j] = next(streams[d])
         yield idx
 
 
@@ -544,11 +652,12 @@ class PoolRefresher:
         rng = np.random.RandomState(self._seed ^ 0x5EED)
         epoch = 1
         while not self._stop.is_set():
-            shard = int(rng.randint(self.pool.n_shards))
-            local = rng.choice(self.pool.per_shard,
-                               size=min(self.chunk, self.pool.per_shard),
+            shard = int(rng.randint(self.pool.n_refresh_shards))
+            start, stop = self.pool.refresh_range(shard)
+            local = rng.choice(stop - start,
+                               size=min(self.chunk, stop - start),
                                replace=False).astype(np.int32)
-            rows = [self.pool.map_row(shard * self.pool.per_shard + int(i),
+            rows = [self.pool.map_row(start + int(i),
                                       seed=self._seed + epoch)
                     for i in local]
             stacked = {k: np.stack([r[k] for r in rows]) for k in rows[0]}

@@ -125,35 +125,29 @@ def build_input_pipeline(cfg, records, records2, models, mapper, mesh, axis,
         from gdrnet_tpu.data.device_pool import (DevicePool, PoolRefresher,
                                                  pool_index_sampler)
 
-        if records2:
-            raise NotImplementedError(
-                "DEVICE_RESIDENT_POOL does not support DATASETS.TRAIN2")
         if cfg.INPUT.DEVICE_PREPROCESS:
             raise NotImplementedError(
                 "DEVICE_RESIDENT_POOL maps on host; disable DEVICE_PREPROCESS")
-        if jax.process_count() > 1:
-            # the pool device_puts full host arrays under the global mesh
-            # sharding and apply_refresh reassembles the global pool from
-            # addressable shards indexed by GLOBAL shard id — both
-            # single-process assumptions (device_pool.py:100-140,240-260).
-            raise NotImplementedError(
-                "DEVICE_RESIDENT_POOL is single-process only; use the host "
-                "loader (or INPUT.DEVICE_PREPROCESS) on multi-process meshes")
         pool_out = cfg.OUTPUT_DIR if cfg.OUTPUT_DIR != "auto" else osp.join(
             cfg.OUTPUT_ROOT, cfg.EXP_NAME or "gdrn")
         cache_dir = (osp.join(pool_out, "pool_cache")
                      if cfg.TRAIN.get("POOL_CACHE", True) else None)
         pool = DevicePool(cfg, records, mapper, models, mesh,
                           axis_name=axis, seed=seed, logger=logger,
-                          abort_check=abort_check, cache_dir=cache_dir)
+                          abort_check=abort_check, cache_dir=cache_dir,
+                          records2=records2)
         loader = pool_index_sampler(
             pool, ims_per_batch, seed,
             sampler_name=cfg.DATALOADER.SAMPLER_TRAIN,
-            repeat_thresh=cfg.DATALOADER.REPEAT_THRESHOLD)
+            repeat_thresh=cfg.DATALOADER.REPEAT_THRESHOLD,
+            ratio2=cfg.DATASETS.TRAIN2_RATIO if records2 else 0.0)
         if cfg.TRAIN.get("POOL_REFRESH", True):
+            # per-rank refresh seed: each host re-augments its OWN rows
+            # with an independent stream (the broadcast seed keeps the
+            # SAMPLER streams identical; refresh must not be)
             refresher = PoolRefresher(
                 pool, chunk=int(cfg.TRAIN.get("POOL_REFRESH_CHUNK", 64) or 64),
-                seed=seed + 1, logger=logger)
+                seed=seed + 1 + 1009 * jax.process_index(), logger=logger)
     else:
         loader = TrainLoader(
             records, mapper, ims_per_batch,

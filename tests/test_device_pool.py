@@ -294,3 +294,52 @@ def test_pool_cache_roundtrip(pool_env, tmp_path):
         fp.truncate(1024)
     DevicePool(cfg2, records, cm, models, mesh, seed=SEED, cache_dir=cache)
     assert calls["n"] == 3 * n_map
+
+
+def test_pool_train2_mixing(pool_env, tmp_path_factory):
+    """DATASETS.TRAIN2 on the pool path (reference hot-loop mixing,
+    engine.py:157-165,232-235): each shard holds a proportional split of
+    both datasets, the sampler mixes at TRAIN2_RATIO (measured), and a
+    TRAIN2 slot decodes to the host mapper's sample."""
+    cfg, meta, records, models, mapper = pool_env
+    root2 = tmp_path_factory.mktemp("bop_pool2")
+    meta2 = build_fixture_dataset(str(root2), n_images=8, seed=77)
+    records2 = load_bop_scene_dicts(meta2, "test", img_type="real")
+
+    n_dev = min(8, len(jax.devices()))
+    mesh = make_mesh(n_dev)
+    pool = DevicePool(cfg, records, mapper, models, mesh, seed=SEED,
+                      records2=records2)
+    per1 = pool.per_shard_ds1
+    per2 = pool.per_shard - per1
+    assert per1 == len(records) // n_dev and per2 == len(records2) // n_dev
+    # shard-local layout: slots [0, per1) are TRAIN, [per1, per) TRAIN2
+    for d in range(n_dev):
+        blk = pool.records[d * pool.per_shard:(d + 1) * pool.per_shard]
+        assert [r["rgb_path"] for r in blk[:per1]] \
+            == [r["rgb_path"] for r in records[d * per1:(d + 1) * per1]]
+        assert [r["rgb_path"] for r in blk[per1:]] \
+            == [r["rgb_path"] for r in records2[d * per2:(d + 1) * per2]]
+
+    ratio2 = 0.25
+    stream = pool_index_sampler(pool, batch_size=4 * n_dev, seed=3,
+                                ratio2=ratio2)
+    draws = np.concatenate([next(stream) for _ in range(250)])
+    frac2 = float((draws >= per1).mean())
+    assert abs(frac2 - ratio2) < 0.03, frac2  # ~1000 draws, 3 sigma ~ 0.04
+
+    # a TRAIN2 slot decodes to the host mapper sample (same envelope as
+    # test_pool_batch_matches_mapper)
+    slots = np.asarray([per1 + (s % max(per2, 1)) for s in range(4 * n_dev)],
+                       np.int32)
+    got = jax.device_get(pool.make_batch(slots))
+    want = _host_rows(pool, mapper,
+                      [d * pool.per_shard + int(s)
+                       for d, s in zip(np.repeat(np.arange(n_dev), 4), slots)])
+    std = np.asarray(cfg.MODEL.PIXEL_STD, np.float32)
+    mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float32)
+    d_img = np.abs((got["roi_img"] * std + mean)
+                   - (want["roi_img"] * std + mean))
+    assert d_img.max() <= 0.5 + 1e-3
+    np.testing.assert_array_equal(got["gt_region"], want["gt_region"])
+    np.testing.assert_array_equal(got["roi_classes"], want["roi_classes"])
