@@ -117,10 +117,101 @@ def bench_with_loader(args):
                     "loss": round(loss, 4)}), flush=True)
 
 
+def audit_step(args):
+    """MFU audit of the compiled train step (VERDICT r04 #8): XLA's own
+    cost analysis of the lowered step (FLOPs + HBM traffic) against the
+    measured step time -> achieved TFLOP/s, fraction of the v5e peak, and
+    the roofline verdict (compute- vs bandwidth-bound). The forward pass is
+    audited the same way so the train/forward FLOP ratio (~3x for
+    backprop) is measured, not assumed. One JSON line per batch size."""
+    import jax
+    import jax.numpy as jnp
+
+    from gdrnet_tpu.config import base_config
+    from gdrnet_tpu.data import synthetic_roi_batch
+    from gdrnet_tpu.engine import create_train_state, make_train_step
+    from gdrnet_tpu.engine.steps import _model_kwargs
+    from gdrnet_tpu.models import build_model
+    from gdrnet_tpu.solver import build_lr_schedule, build_optimizer
+
+    # v5e single-chip peaks (public spec): 197 TFLOP/s bf16, 819 GB/s HBM
+    PEAK_TFLOPS, PEAK_GBS = 197.0, 819.0
+    on_tpu = jax.default_backend() not in ("cpu",)
+
+    for B in [int(x) for x in args.batch_sizes.split(",")]:
+        cfg = base_config()
+        pnp = cfg.MODEL.CDPN.PNP_NET
+        pnp.WITH_2D_COORD = True
+        pnp.REGION_ATTENTION = True
+        pnp.PM_NORM_BY_EXTENT = True
+        pnp.CENTROID_LW = 1.0
+        pnp.Z_LW = 1.0
+        cfg.MODEL.CDPN.ROT_HEAD.NUM_REGIONS = 64
+        cfg.PARALLEL.DTYPE = "bfloat16"
+        cfg.SOLVER.OPTIMIZER_CFG = dict(type="Ranger", lr=1e-4,
+                                        weight_decay=0)
+        model = build_model(cfg)
+        opt = build_optimizer(cfg,
+                              lr_schedule=build_lr_schedule(cfg, 1e-4, 10000))
+        batch = {k: jnp.asarray(v) for k, v in synthetic_roi_batch(
+            batch_size=B, num_points=3000, num_regions=64).items()}
+        state = create_train_state(model, opt, batch, jax.random.PRNGKey(0))
+        step = make_train_step(cfg, model, opt)
+        rng = jax.random.PRNGKey(1)
+
+        def costs(jitted, *a, **kw):
+            c = jitted.lower(*a, **kw).compile().cost_analysis()
+            c = c[0] if isinstance(c, (list, tuple)) else c
+            return (float(c.get("flops", 0.0)),
+                    float(c.get("bytes accessed", 0.0)))
+
+        fwd = jax.jit(lambda v, b: model.apply(
+            v, b["roi_img"], **_model_kwargs(b), train=False))
+        variables = ({"params": state.params,
+                      "batch_stats": state.batch_stats}
+                     if state.batch_stats else {"params": state.params})
+        f_fwd, by_fwd = costs(fwd, variables, batch)
+        f_step, by_step = costs(step, state, batch, rng)
+        rec = {
+            "metric": "train_step_mfu_audit", "batch": B,
+            "step_gflops": round(f_step / 1e9, 1),
+            "fwd_gflops": round(f_fwd / 1e9, 1),
+            "step_fwd_flop_ratio": round(f_step / max(f_fwd, 1.0), 2),
+            "step_hbm_gb": round(by_step / 1e9, 2),
+            # FLOP:byte of the whole step vs the chip's ~240 ridge point
+            "arith_intensity": round(f_step / max(by_step, 1.0), 1),
+            "backend": jax.default_backend(),
+        }
+        if on_tpu:
+            state, m = step(state, batch, rng)  # compile+warmup
+            assert float(m["total_loss"]) == float(m["total_loss"])
+            t0 = time.perf_counter()
+            for i in range(args.iters):
+                state, m = step(state, batch, jax.random.fold_in(rng, i))
+            float(m["total_loss"])  # fence
+            dt = (time.perf_counter() - t0) / args.iters
+            tflops = f_step / dt / 1e12
+            gbs = by_step / dt / 1e9
+            rec.update(
+                ms_per_step=round(dt * 1e3, 1),
+                rois_per_sec=round(B / dt, 1),
+                achieved_tflops=round(tflops, 1),
+                mfu=round(tflops / PEAK_TFLOPS, 3),
+                achieved_hbm_gbs=round(gbs, 1),
+                hbm_frac=round(gbs / PEAK_GBS, 3),
+                bound=("compute" if tflops / PEAK_TFLOPS
+                       >= gbs / PEAK_GBS else "bandwidth"))
+        print(json.dumps(rec), flush=True)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch-sizes", default="24,64,128")
     p.add_argument("--iters", type=int, default=6)
+    p.add_argument("--audit", action="store_true",
+                   help="MFU/roofline audit of the compiled train step")
+    p.add_argument("--cpu", action="store_true",
+                   help="with --audit: FLOP counts only, no chip timing")
     p.add_argument("--with-loader", action="store_true")
     p.add_argument("--config-file",
                    default="configs/gdrn/synth/a6_cPnP_synth.py")
@@ -131,6 +222,22 @@ def main(argv=None):
     p.add_argument("--max-records", type=int, default=0,
                    help="truncate the record list (bounds pool build time)")
     args = p.parse_args(argv)
+
+    if args.audit:
+        # FLOP/byte counts come from the lowered module and work on any
+        # backend; the timing/MFU leg is added when a TPU is bound
+        import jax
+
+        if args.cpu:
+            jax.config.update("jax_platforms", "cpu")
+        else:
+            from gdrnet_tpu.utils.device_probe import probe_device
+
+            probe_device()
+        if args.batch_sizes == "24,64,128":
+            args.batch_sizes = "256"
+        audit_step(args)
+        return
 
     from gdrnet_tpu.utils.device_probe import probe_device
 
