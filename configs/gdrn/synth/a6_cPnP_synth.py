@@ -15,6 +15,11 @@ OUTPUT_DIR = "output/gdrn/synth/a6_cPnP_synth"
 
 INPUT = dict(
     DZI_PAD_SCALE=1.5,
+    # the synth renders carry their own scene backgrounds and this
+    # environment has no VOC bg set — replacing backgrounds (with the
+    # gradient fallback) creates a train/test domain gap measured to
+    # collapse held-out scores (SCALE_RUN.md round-5 postmortem)
+    CHANGE_BG_PROB=0.0,
     COLOR_AUG_PROB=0.3,
     COLOR_AUG_TYPE="code",
     COLOR_AUG_CODE=(

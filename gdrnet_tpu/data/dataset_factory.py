@@ -174,9 +174,15 @@ def resolve(name: str, data_root: str = "datasets/BOP_DATASETS",
         return meta, recs
     # Self-describing datasets: "<dir>_train"/"<dir>_test" where
     # <data_root>/<dir>/meta.json exists (tools/gen_scale_dataset.py layout).
-    # Train images are synthetic renders -> img_type "syn" so
-    # COLOR_AUG_SYN_ONLY applies; test follows the real-image protocol.
-    for suffix, img_type in (("_train", "syn"), ("_test", "real")):
+    # Train images are synthetic FULL-SCENE renders WITH backgrounds ->
+    # img_type "syn_pbr" (the CHANGE_BG_PROB branch, like BOP PBR;
+    # COLOR_AUG_SYN_ONLY still applies). "syn" would force bg replacement
+    # on every sample (reference semantics for bg-less OpenGL renders,
+    # data_loader.py:330-346) — measured in round 5 to collapse held-out
+    # scores (gradient-bg training domain vs rendered-bg test domain:
+    # mean_te 2.5 -> 12.6 cm on the same records). Test follows the
+    # real-image protocol.
+    for suffix, img_type in (("_train", "syn_pbr"), ("_test", "real")):
         if name.endswith(suffix):
             root_dir = _osp.join(data_root, name[: -len(suffix)])
             if _osp.isfile(_osp.join(root_dir, "meta.json")):

@@ -258,7 +258,8 @@ class DevicePool:
                 else dict(cfg.INPUT)
             rec_fp = hashlib.sha1("\n".join(
                 f"{r.get('rgb_path', '')}|{r.get('xyz_path', '')}|"
-                f"{r.get('label', '')}|{r.get('inst_id', '')}"
+                f"{r.get('label', '')}|{r.get('inst_id', '')}|"
+                f"{r.get('img_type', 'real')}"  # drives the bg-replace branch
                 for r in self.records).encode()).hexdigest()
             key = json.dumps(
                 [sorted(cfg.DATASETS.TRAIN), n_use, self._decode_static,

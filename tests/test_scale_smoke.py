@@ -41,7 +41,7 @@ def synth_subset():
     # deterministic small slices: one train scene capped at 16 images
     # (~100 ROIs), first 6 held-out test images
     train = [r for r in load_bop_scene_dicts(meta, "train", scenes=[1],
-                                             visib_thr=0.1, img_type="syn")
+                                             visib_thr=0.1, img_type="syn_pbr")
              if r["im_id"] < 16]
     test = [r for r in load_bop_scene_dicts(meta, "test", visib_thr=0.1,
                                             img_type="real")

@@ -57,7 +57,7 @@ def main(argv=None):
     # deterministic slices: first N train images in (scene, im_id) order,
     # first M held-out test images — identical across seeds by construction
     train_all = load_bop_scene_dicts(meta, "train", visib_thr=0.1,
-                                     img_type="syn")
+                                     img_type="syn_pbr")
     train_all.sort(key=lambda r: (r["scene_id"], r["im_id"]))
     train = train_all[:args.train_images]
     test_all = load_bop_scene_dicts(meta, "test", visib_thr=0.1,
