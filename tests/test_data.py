@@ -257,7 +257,7 @@ def test_meta_json_dataset_resolution(tmp_path):
     assert np.allclose(m_tr.camera_matrix, meta.camera_matrix)
     assert m_tr.sym_objects == meta.sym_objects
     assert len(recs_tr) == 6 and len(recs_te) == 4  # 2 instances / image
-    assert recs_tr[0]["img_type"] == "syn"
+    assert recs_tr[0]["img_type"] == "syn_pbr"  # full-scene renders w/ bg (46d6766)
     assert recs_te[0]["img_type"] == "real"
     # the resolved meta loads model assets from the dataset dir
     models = ObjectModels(m_te, num_pm_points=64, num_fps=8)
