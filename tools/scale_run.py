@@ -134,6 +134,7 @@ def build_stages():
     eval_base = train_argv + ["--eval-only",
                               f"MODEL.WEIGHTS={osp.join(OUT, 'ckpt')}"]
     bench_done, bench_touch = _marker("bench")
+    audit_done, audit_touch = _marker("audit")
     loader_done, loader_touch = _marker("loader_bench")
     sweeps = []
     for seed in range(5):
@@ -171,6 +172,12 @@ def build_stages():
                f"{PY} {osp.join(REPO, 'bench.py')} && "
                f"{PY} {osp.join(REPO, 'bench.py')} --bf16"],
               bench_done, timeout_s=2400, on_rc0=bench_touch),
+        # train-step MFU/roofline audit on the bound chip (TPU-lowered
+        # cost analysis + timed MFU; docs/performance.md table)
+        Stage("audit",
+              [PY, osp.join(REPO, "tools", "bench_train.py"),
+               "--audit", "--batch-sizes", "128,256"],
+              audit_done, timeout_s=1800, on_rc0=audit_touch),
         # sustained input-pipeline comparison on the real data path
         Stage("loader_bench",
               [PY, osp.join(REPO, "tools", "bench_train.py"),
