@@ -283,13 +283,3 @@ def init_model_weights(cfg, state: GDRNTrainState, logger=None
     if logger:
         logger.warning("Randomly initialize weights for backbone!")
     return state
-
-
-def load_params_for_eval(ckpt_dir: str, state: GDRNTrainState) -> GDRNTrainState:
-    """Load the newest checkpoint for eval-only runs (reference
-    main_gdrn.py:120-122)."""
-    mgr = CheckpointManager(ckpt_dir)
-    restored, step = mgr.resume_or_load(state, resume=True)
-    if step == 0 and mgr.latest_step() is None:
-        raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
-    return restored

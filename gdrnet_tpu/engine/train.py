@@ -98,32 +98,18 @@ def main(argv=None):
     from gdrnet_tpu.data import ObjectModels
 
     if args.eval_only:
-        import jax
-
-        from gdrnet_tpu.engine.checkpoint import load_params_for_eval
-        from gdrnet_tpu.engine.train_state import create_train_state
-        from gdrnet_tpu.solver import build_optimizer
-        from gdrnet_tpu.data.synthetic import synthetic_roi_batch
-
         meta, records = resolve(cfg.DATASETS.TEST[0], args.data_root)
         models = ObjectModels(meta, num_pm_points=cfg.MODEL.CDPN.PNP_NET.NUM_PM_POINTS,
                               num_fps=cfg.MODEL.CDPN.ROT_HEAD.NUM_REGIONS)
         model = build_model(cfg)
-        sample = {k: jax.numpy.asarray(v) for k, v in synthetic_roi_batch(
-            batch_size=2, input_res=cfg.MODEL.CDPN.BACKBONE.INPUT_RES,
-            out_res=cfg.MODEL.CDPN.BACKBONE.OUTPUT_RES).items()}
-        state = create_train_state(model, build_optimizer(cfg), sample,
-                                   jax.random.PRNGKey(0))
         ckpt_dir = cfg.MODEL.WEIGHTS or osp.join(cfg.OUTPUT_DIR, "ckpt")
-        if ckpt_dir.endswith((".pth", ".pt")):
-            from gdrnet_tpu.engine.checkpoint import load_variables_any
+        # eval needs only the inference variables; restoring a full
+        # TrainState would couple eval to the exact optimizer tree the
+        # checkpoint was trained with (e.g. schedule vs constant-lr state)
+        from gdrnet_tpu.engine.checkpoint import load_variables_any
 
-            v = load_variables_any(cfg, ckpt_dir)
-            state = state.replace(params=v["params"],
-                                  batch_stats=v["batch_stats"])
-        else:
-            state = load_params_for_eval(ckpt_dir, state)
-        results = do_test(cfg, model, state.variables(), models, records,
+        variables = load_variables_any(cfg, ckpt_dir)
+        results = do_test(cfg, model, variables, models, records,
                           output_dir=cfg.OUTPUT_DIR, data_root=args.data_root)
         print(results["_summary"])
         _dump_results(results, cfg.OUTPUT_DIR)

@@ -126,3 +126,31 @@ def test_restore_verify_catches_upload_tear(tmp_path, monkeypatch):
     assert start == 7
     np.testing.assert_array_equal(np.asarray(restored.params["w"]),
                                   np.asarray(state.params["w"]))
+
+
+def test_eval_load_is_optimizer_tree_agnostic(tmp_path):
+    """Eval-only restore must not depend on rebuilding the exact optimizer
+    the checkpoint was trained with. Regression: the flagship run trains
+    with a schedule-built Ranger (ScaleBySchedule state) while the eval CLI
+    rebuilt a constant-lr template (EmptyState) -> orbax tree mismatch.
+    load_variables_for_inference restores params/batch_stats with no
+    opt_state template at all."""
+    from gdrnet_tpu.engine.checkpoint import load_variables_for_inference
+
+    k = jax.random.PRNGKey(3)
+    params = {"w": jax.random.normal(k, (8, 8), jnp.float32)}
+    opt = optax.chain(optax.clip_by_global_norm(1.0),
+                      optax.scale_by_adam(),
+                      optax.scale_by_schedule(lambda c: -1e-3 / (1.0 + c)))
+    state = GDRNTrainState(step=jnp.zeros([], jnp.int32), params=params,
+                           batch_stats={"m": jnp.ones((8,), jnp.float32)},
+                           opt_state=opt.init(params))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(state, 5)
+    mgr.wait()
+
+    v = load_variables_for_inference(str(tmp_path / "ckpt"))
+    np.testing.assert_array_equal(np.asarray(v["params"]["w"]),
+                                  np.asarray(params["w"]))
+    np.testing.assert_array_equal(np.asarray(v["batch_stats"]["m"]),
+                                  np.ones((8,), np.float32))
