@@ -162,7 +162,7 @@ def build_stages():
                            f"OUTPUT_DIR={osp.join(OUT, 'eval_int8')}"],
               lambda: _eval_done("int8"), timeout_s=3600),
         Stage("eval_dpnp",
-              eval_base + ["TEST.DEVICE_PNP=True",
+              eval_base + ["TEST.USE_PNP=True", "TEST.DEVICE_PNP=True",
                            f"OUTPUT_DIR={osp.join(OUT, 'eval_dpnp')}"],
               lambda: _eval_done("dpnp"), timeout_s=3600),
         # bf16 + int8 serving bench on the trained checkpoint (bench.py
