@@ -389,8 +389,17 @@ def generate_split(root, split, zoo, colors, K, width, height, n_images,
                     print(f"[{split}] scene {scene_id} complete, skipping",
                           flush=True)
                     continue
+        # render into a hidden tmp dir and rename on completion: dataset
+        # consumers enumerate train/<scene>/ dirs, so a scene must never be
+        # visible without its scene_gt.json (a concurrent loader would
+        # hard-fail on the partial tree)
+        wdir = osp.join(osp.dirname(sdir), f".tmp_{scene_id:06d}")
+        if osp.isdir(wdir):
+            import shutil
+
+            shutil.rmtree(wdir)
         for sub in ("rgb", "depth", "mask", "mask_visib", "xyz_crop"):
-            os.makedirs(osp.join(sdir, sub), exist_ok=True)
+            os.makedirs(osp.join(wdir, sub), exist_ok=True)
         scene_gt, scene_gt_info, scene_camera = {}, {}, {}
         for c0 in range(0, n_here, chunk_imgs):
             ims = [sample_scene(rng, zoo, K, width, height)
@@ -442,12 +451,12 @@ def generate_split(root, split, zoo, colors, K, width, height, n_images,
                     m_full = np.zeros((height, width), np.uint8)
                     m_full[oy:oy + mask_a.shape[0],
                            ox:ox + mask_a.shape[1]] = mask_a * 255
-                    cv2.imwrite(osp.join(sdir, "mask",
+                    cv2.imwrite(osp.join(wdir, "mask",
                                          f"{im_id:06d}_{k:06d}.png"), m_full)
-                    cv2.imwrite(osp.join(sdir, "mask_visib",
+                    cv2.imwrite(osp.join(wdir, "mask_visib",
                                          f"{im_id:06d}_{k:06d}.png"),
                                 (mask_v * 255).astype(np.uint8))
-                    with open(osp.join(sdir, "xyz_crop",
+                    with open(osp.join(wdir, "xyz_crop",
                                        f"{im_id:06d}_{k:06d}.pkl"),
                               "wb") as fp:
                         pickle.dump(
@@ -470,9 +479,9 @@ def generate_split(root, split, zoo, colors, K, width, height, n_images,
                 noise = rng.randn(height, width, 3) * (0.015 * 255.0)
                 out = np.clip(out.astype(np.float32) + noise,
                               0, 255).astype(np.uint8)
-                cv2.imwrite(osp.join(sdir, "rgb", f"{im_id:06d}.png"),
+                cv2.imwrite(osp.join(wdir, "rgb", f"{im_id:06d}.png"),
                             out[..., ::-1])
-                cv2.imwrite(osp.join(sdir, "depth", f"{im_id:06d}.png"),
+                cv2.imwrite(osp.join(wdir, "depth", f"{im_id:06d}.png"),
                             depth_full)
                 scene_gt[str(im_id)] = gts
                 scene_gt_info[str(im_id)] = infos
@@ -486,8 +495,13 @@ def generate_split(root, split, zoo, colors, K, width, height, n_images,
         for fname, obj in (("scene_gt.json", scene_gt),
                            ("scene_gt_info.json", scene_gt_info),
                            ("scene_camera.json", scene_camera)):
-            with open(osp.join(sdir, fname), "w") as fp:
+            with open(osp.join(wdir, fname), "w") as fp:
                 json.dump(obj, fp)
+        if osp.isdir(sdir):  # partial tree left by a pre-atomic-rename run
+            import shutil
+
+            shutil.rmtree(sdir)
+        os.rename(wdir, sdir)
     print(f"[{split}] done: {img_global} images, {n_scenes} scenes",
           flush=True)
 
