@@ -74,6 +74,13 @@ def main():
         sys.argv.remove("--_worker")
         return _bench_main()
 
+    from gdrnet_tpu.utils.device_probe import _pinned_cpu
+
+    if _pinned_cpu():
+        # no tunnel to isolate against, and a subprocess would escape the
+        # caller's cpu pinning and bind the real chip (tests, CPU hosts)
+        return _bench_main()
+
     import os
     import subprocess
 

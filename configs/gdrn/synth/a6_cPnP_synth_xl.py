@@ -9,4 +9,6 @@ _base_ = ["./a6_cPnP_synth.py"]
 
 OUTPUT_DIR = "output/gdrn/synth/a6_cPnP_synth_xl"
 
-SOLVER = dict(TOTAL_EPOCHS=100)
+# CHECKPOINT_PERIOD 100 (inherited) would checkpoint only at the very end
+# of this 100-epoch run; a mid-run hang/preemption then loses everything.
+SOLVER = dict(TOTAL_EPOCHS=100, CHECKPOINT_PERIOD=10)
